@@ -1,0 +1,335 @@
+"""Minimal-coordinate multibody mechanics in pure JAX.
+
+This is the TPU-native replacement for the role Simbody's
+SimbodyMatterSubsystem plays in the reference (SURVEY.md L0; the reference
+calls ``realizeAcceleration`` per grid point through a callback bridge,
+``MocoCasOCProblem.h:203-330``). Here the whole tree is a pure function of
+``(params, q, u)`` built from Featherstone's RNEA/CRBA, so XLA can fuse it
+into the transcription graph, JAX autodiff replaces the reference's finite
+differences/ADOL-C taping, and ``vmap`` replaces the ThreadsafeJar model
+replica pool (``MocoUtilities.h:680-716``).
+
+Design notes
+------------
+* Topology (parents, joint kinds, axes) is **static** Python/numpy, so the
+  per-body loops unroll at trace time into a fixed XLA graph (body counts are
+  tiny: <= ~20 for Moco-class gait models).
+* Everything numeric that a user might optimize (masses, COMs, inertias,
+  joint frame offsets, gravity) lives in a parameter pytree produced by
+  :meth:`MechModel.default_params`, making MocoParameter-style model-parameter
+  optimization a trivial functional update + autodiff.
+* Point/station kinematics are exposed as positions only; velocities come
+  from ``jax.jvp`` and generalized forces from ``jax.vjp`` (Jacobian-transpose
+  mapping), which is both simpler and faster than hand-written projection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spatial import crf, crm, rodrigues, skew, spatial_inertia
+
+GROUND = -1
+
+_VALID_KINDS = ("revolute", "prismatic", "weld")
+
+
+@dataclasses.dataclass(frozen=True)
+class JointSpec:
+    """Static description of a joint connecting parent body -> child body."""
+
+    name: str
+    kind: str
+    axis: tuple  # unit axis, static
+    coord_name: str | None  # None for weld
+
+
+@dataclasses.dataclass(frozen=True)
+class BodySpec:
+    name: str
+    mass: float
+    com: tuple
+    inertia: tuple  # 3x3 nested tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class StationSpec:
+    """A point fixed in a body (marker / muscle via point / contact point)."""
+
+    name: str
+    body: int  # body index, or GROUND
+    location: tuple  # in body frame
+
+
+class MechModel:
+    """Immutable kinematic tree; construct via :class:`MechModelBuilder`."""
+
+    def __init__(self, bodies: Sequence[BodySpec], joints: Sequence[JointSpec],
+                 parents: Sequence[int], tree_E: np.ndarray, tree_r: np.ndarray,
+                 gravity: np.ndarray):
+        self.bodies = tuple(bodies)
+        self.joints = tuple(joints)
+        self.parents = tuple(parents)
+        self._tree_E = np.asarray(tree_E, dtype=np.float64)
+        self._tree_r = np.asarray(tree_r, dtype=np.float64)
+        self._gravity = np.asarray(gravity, dtype=np.float64)
+        # coordinate index per body (-1 if weld)
+        coord = []
+        self.coord_names = []
+        k = 0
+        for j in self.joints:
+            if j.kind == "weld":
+                coord.append(-1)
+            else:
+                coord.append(k)
+                self.coord_names.append(j.coord_name)
+                k += 1
+        self._coord_of_body = tuple(coord)
+        self.nq = k
+        self.nb = len(self.bodies)
+
+    # ---------------------------------------------------------------- params
+    def default_params(self):
+        """Parameter pytree: every numeric quantity of the model."""
+        return {
+            "mass": jnp.asarray([b.mass for b in self.bodies]),
+            "com": jnp.asarray([b.com for b in self.bodies]),
+            "inertia": jnp.asarray([b.inertia for b in self.bodies]),
+            "tree_E": jnp.asarray(self._tree_E),
+            "tree_r": jnp.asarray(self._tree_r),
+            "gravity": jnp.asarray(self._gravity),
+        }
+
+    # ------------------------------------------------------------ kinematics
+    def _joint_EjrjS(self, i, p, q):
+        """Joint transform (E_j, r_j) and motion subspace S for body i."""
+        spec = self.joints[i]
+        dtype = q.dtype
+        ci = self._coord_of_body[i]
+        axis = jnp.asarray(spec.axis, dtype=dtype)
+        if spec.kind == "weld":
+            E = jnp.eye(3, dtype=dtype)
+            r = jnp.zeros(3, dtype=dtype)
+            S = None
+        elif spec.kind == "revolute":
+            E = rodrigues(axis, q[ci]).T
+            r = jnp.zeros(3, dtype=dtype)
+            S = jnp.concatenate([axis, jnp.zeros(3, dtype=dtype)])
+        elif spec.kind == "prismatic":
+            E = jnp.eye(3, dtype=dtype)
+            r = axis * q[ci]
+            S = jnp.concatenate([jnp.zeros(3, dtype=dtype), axis])
+        else:  # pragma: no cover
+            raise ValueError(spec.kind)
+        return E, r, S
+
+    def _Xup_S(self, i, p, q):
+        """6x6 motion transform parent->body i and motion subspace."""
+        E_j, r_j, S = self._joint_EjrjS(i, p, q)
+        E_T = p["tree_E"][i].astype(q.dtype)
+        r_T = p["tree_r"][i].astype(q.dtype)
+        E = E_j @ E_T
+        # net: X_J(q) composed with X_T; r expressed in parent coords
+        r = r_T + E_T.T @ r_j
+        Z = jnp.zeros((3, 3), dtype=q.dtype)
+        Xup = jnp.block([[E, Z], [-E @ skew(r), E]])
+        return Xup, S
+
+    def frames(self, p, q):
+        """World pose per body: list of (A, o) with A = E_{body<-world},
+        o = body origin in world coordinates."""
+        out = []
+        for i in range(self.nb):
+            E_j, r_j, S = self._joint_EjrjS(i, p, q)
+            E_T = p["tree_E"][i].astype(q.dtype)
+            r_T = p["tree_r"][i].astype(q.dtype)
+            E_ip = E_j @ E_T
+            r_ip = r_T + E_T.T @ r_j  # child origin in parent coords
+            pa = self.parents[i]
+            if pa == GROUND:
+                A = E_ip
+                o = r_ip
+            else:
+                A_p, o_p = out[pa]
+                A = E_ip @ A_p
+                o = o_p + A_p.T @ r_ip
+            out.append((A, o))
+        return out
+
+    def station_position(self, p, q, body: int, location):
+        """World position of a point fixed in ``body`` (GROUND allowed)."""
+        loc = jnp.asarray(location, dtype=q.dtype)
+        if body == GROUND:
+            return loc
+        A, o = self.frames(p, q)[body]
+        return o + A.T @ loc
+
+    def station_positions(self, p, q, stations: Sequence[StationSpec]):
+        """Stack world positions for many stations (shares one FK pass)."""
+        frames = self.frames(p, q)
+        out = []
+        for s in stations:
+            loc = jnp.asarray(s.location, dtype=q.dtype)
+            if s.body == GROUND:
+                out.append(loc)
+            else:
+                A, o = frames[s.body]
+                out.append(o + A.T @ loc)
+        return jnp.stack(out)
+
+    def station_velocity(self, p, q, u, body: int, location):
+        """World-frame velocity of a station via jvp of its position."""
+        pos = lambda qq: self.station_position(p, qq, body, location)
+        return jax.jvp(pos, (q,), (u,))[1]
+
+    # -------------------------------------------------------------- dynamics
+    def rnea(self, p, q, u, udot):
+        """Inverse dynamics: generalized forces balancing (q, u, udot) under
+        gravity and velocity-product terms.  Featherstone RBDA table 5.1."""
+        dtype = q.dtype
+        g = p["gravity"].astype(dtype)
+        a_base = jnp.concatenate([jnp.zeros(3, dtype=dtype), -g])
+        v = [None] * self.nb
+        a = [None] * self.nb
+        f = [None] * self.nb
+        Xups = [None] * self.nb
+        Ss = [None] * self.nb
+        for i in range(self.nb):
+            Xup, S = self._Xup_S(i, p, q)
+            Xups[i] = Xup
+            Ss[i] = S
+            pa = self.parents[i]
+            v_p = jnp.zeros(6, dtype=dtype) if pa == GROUND else v[pa]
+            a_p = a_base if pa == GROUND else a[pa]
+            ci = self._coord_of_body[i]
+            if S is None:
+                vJ = jnp.zeros(6, dtype=dtype)
+                aJ = jnp.zeros(6, dtype=dtype)
+            else:
+                vJ = S * u[ci]
+                aJ = S * udot[ci]
+            v[i] = Xup @ v_p + vJ
+            a[i] = Xup @ a_p + aJ + crm(v[i]) @ vJ
+            I = spatial_inertia(p["mass"][i].astype(dtype),
+                                p["com"][i].astype(dtype),
+                                p["inertia"][i].astype(dtype))
+            f[i] = I @ a[i] + crf(v[i]) @ (I @ v[i])
+        tau = [jnp.zeros((), dtype=dtype)] * self.nq
+        for i in reversed(range(self.nb)):
+            ci = self._coord_of_body[i]
+            if Ss[i] is not None:
+                tau[ci] = Ss[i] @ f[i]
+            pa = self.parents[i]
+            if pa != GROUND:
+                f[pa] = f[pa] + Xups[i].T @ f[i]
+        return jnp.stack(tau) if self.nq else jnp.zeros(0, dtype=dtype)
+
+    def bias_forces(self, p, q, u):
+        """C(q,u) + gravity terms: rnea with zero acceleration."""
+        return self.rnea(p, q, u, jnp.zeros_like(u))
+
+    def mass_matrix(self, p, q):
+        """Joint-space inertia matrix via the composite-rigid-body algorithm."""
+        dtype = q.dtype
+        Ic = []
+        Xups = []
+        Ss = []
+        for i in range(self.nb):
+            Xup, S = self._Xup_S(i, p, q)
+            Xups.append(Xup)
+            Ss.append(S)
+            Ic.append(spatial_inertia(p["mass"][i].astype(dtype),
+                                      p["com"][i].astype(dtype),
+                                      p["inertia"][i].astype(dtype)))
+        for i in reversed(range(self.nb)):
+            pa = self.parents[i]
+            if pa != GROUND:
+                Ic[pa] = Ic[pa] + Xups[i].T @ Ic[i] @ Xups[i]
+        H = [[jnp.zeros((), dtype=dtype) for _ in range(self.nq)]
+             for _ in range(self.nq)]
+        for i in range(self.nb):
+            ci = self._coord_of_body[i]
+            if Ss[i] is None:
+                continue
+            F = Ic[i] @ Ss[i]
+            H[ci][ci] = Ss[i] @ F
+            j = i
+            while self.parents[j] != GROUND:
+                F = Xups[j].T @ F
+                j = self.parents[j]
+                cj = self._coord_of_body[j]
+                if cj >= 0:
+                    H[ci][cj] = Ss[j] @ F
+                    H[cj][ci] = H[ci][cj]
+        if self.nq == 0:
+            return jnp.zeros((0, 0), dtype=dtype)
+        return jnp.stack([jnp.stack(row) for row in H])
+
+    def forward_dynamics(self, p, q, u, tau_applied):
+        """udot = M(q)^{-1} (tau_applied - bias(q, u))."""
+        M = self.mass_matrix(p, q)
+        b = self.bias_forces(p, q, u)
+        return jnp.linalg.solve(M, tau_applied - b)
+
+
+class MechModelBuilder:
+    """Imperative builder mirroring how reference models are assembled
+    programmatically (cf. ModelFactory, reference
+    Moco/Moco/Components/ModelFactory.h:39-90)."""
+
+    def __init__(self, gravity=(0.0, -9.80665, 0.0)):
+        self._bodies: list[BodySpec] = []
+        self._joints: list[JointSpec] = []
+        self._parents: list[int] = []
+        self._tree_E: list[np.ndarray] = []
+        self._tree_r: list[np.ndarray] = []
+        self._name_to_idx: dict[str, int] = {"ground": GROUND}
+        self._gravity = np.asarray(gravity, dtype=np.float64)
+
+    def add_body(self, name, mass=0.0, com=(0, 0, 0), inertia=None,
+                 joint_name=None, kind="weld", parent="ground", axis=(0, 0, 1),
+                 tree_r=(0, 0, 0), tree_E=None, coord_name=None):
+        """Add a body and the joint that connects it to ``parent``.
+
+        ``tree_r``/``tree_E`` give the joint frame pose in the parent frame.
+        ``coord_name`` defaults to ``<joint_name>_coord`` for non-weld joints.
+        """
+        if inertia is None:
+            inertia = np.zeros((3, 3))
+        inertia = np.asarray(inertia, dtype=np.float64)
+        if inertia.shape == (3,):
+            inertia = np.diag(inertia)
+        if tree_E is None:
+            tree_E = np.eye(3)
+        if joint_name is None:
+            joint_name = f"{name}_joint"
+        if kind not in _VALID_KINDS:
+            raise ValueError(f"unknown joint kind {kind!r}")
+        if kind != "weld" and coord_name is None:
+            coord_name = f"{joint_name}_coord"
+        ax = np.asarray(axis, dtype=np.float64)
+        n = np.linalg.norm(ax)
+        if kind != "weld":
+            ax = ax / n
+        self._bodies.append(BodySpec(name, float(mass),
+                                     tuple(np.asarray(com, dtype=np.float64)),
+                                     tuple(map(tuple, inertia))))
+        self._joints.append(JointSpec(joint_name, kind, tuple(ax), coord_name))
+        self._parents.append(self._name_to_idx[parent])
+        self._tree_E.append(np.asarray(tree_E, dtype=np.float64))
+        self._tree_r.append(np.asarray(tree_r, dtype=np.float64))
+        self._name_to_idx[name] = len(self._bodies) - 1
+        return self._name_to_idx[name]
+
+    def body_index(self, name: str) -> int:
+        return self._name_to_idx[name]
+
+    def finalize(self) -> MechModel:
+        return MechModel(self._bodies, self._joints, self._parents,
+                         np.stack(self._tree_E), np.stack(self._tree_r),
+                         self._gravity)
