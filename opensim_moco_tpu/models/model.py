@@ -1,0 +1,449 @@
+"""Model composition: mechanics + actuators + muscles + forces.
+
+TPU-native analogue of an OpenSim ``Model`` as consumed by Moco
+(reference MocoProblemRep.cpp:36-531 instantiates/link models; the
+two-model "disabled constraints + DiscreteForces + AccelerationMotion"
+dance of MocoProblemRep.cpp:105-141 disappears here because dynamics are
+explicit pure functions of ``(t, q, u, z, x, lam, p)``).
+
+State layout (system order, matching
+``createStateVariableNamesInSystemOrder``, MocoProblemRep.cpp:540):
+``y = [q (nq), u (nq), z (naux)]`` with auxiliary states ordered per muscle
+as [activation?, normalized_tendon_force?].
+
+Control layout: one control per coordinate actuator, then one excitation
+per muscle (order of addition).
+
+Generalized forces from path actuators and point forces are obtained with
+``jax.vjp`` (Jacobian-transpose of station/path kinematics) instead of the
+reference's Simbody force-application machinery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import muscle as dgf
+from .mech import GROUND, MechModel
+
+
+@dataclasses.dataclass(frozen=True)
+class CoordinateActuatorSpec:
+    """Applies tau = optimal_force * control at one coordinate
+    (OpenSim CoordinateActuator; used by every reference example)."""
+    name: str
+    coord: int
+    optimal_force: float = 1.0
+    min_control: float = -jnp.inf
+    max_control: float = jnp.inf
+
+
+@dataclasses.dataclass(frozen=True)
+class SpringGeneralizedForceSpec:
+    """F = -stiffness (q - rest_length) - viscosity u  on one coordinate
+    (OpenSim SpringGeneralizedForce, used by reference testMocoAnalytic.cpp
+    for the Kirk 1998 problem)."""
+    name: str
+    coord: int
+    stiffness: float = 0.0
+    rest_length: float = 0.0
+    viscosity: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MuscleSpec:
+    """DeGrooteFregly2016 muscle acting along a straight-segment via-point
+    path (GeometryPath analogue)."""
+    name: str
+    path: tuple  # ((body_index, (x,y,z)), ...)
+    ignore_activation_dynamics: bool = False
+    ignore_tendon_compliance: bool = False
+    tendon_dynamics_implicit: bool = False
+    ignore_passive_fiber_force: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class StationContactSpec:
+    """Smooth station-vs-ground-plane contact
+    (reference Components/StationPlaneContactForce.h:98-131,
+    AckermannVanDenBogert2010Force)."""
+    name: str
+    body: int
+    location: tuple
+    stiffness: float = 5e7
+    dissipation: float = 1.0
+    friction_coefficient: float = 1.0
+    tangent_velocity_scaling: float = 0.05
+
+
+def avdb_contact_force(pos, vel, stiffness, dissipation, friction_coefficient,
+                       tangent_velocity_scaling):
+    """AckermannVanDenBogert2010 smooth contact, world force at the station.
+
+    Mirrors StationPlaneContactForce.h:98-131: cubic normal force with
+    dissipation, a small "void stiffness", and tanh friction transition.
+    """
+    y = pos[1]
+    depth = -y
+    depth_rate = -vel[1]
+    fy = jnp.maximum(0.0, stiffness * depth ** 3 * (1 + dissipation *
+                                                    depth_rate))
+    fy = jnp.where(depth > 0, fy, 0.0)
+    void_stiffness = 1.0
+    fy = fy + void_stiffness * depth
+    transition = jnp.tanh(vel[0] / tangent_velocity_scaling / 2.0)
+    fx = -transition * friction_coefficient * fy
+    return jnp.stack([fx, fy, jnp.zeros_like(fx)])
+
+
+class Model:
+    """Mutable builder; call :meth:`finalize` before use in a Problem."""
+
+    def __init__(self, mech: MechModel):
+        self.mech = mech
+        self.actuators: list[CoordinateActuatorSpec] = []
+        self.springs: list[SpringGeneralizedForceSpec] = []
+        self.muscles: list[MuscleSpec] = []
+        self._muscle_params: list[dict] = []
+        self.contacts: list[StationContactSpec] = []
+        self.kinematic_constraints: list[tuple[str, Callable]] = []
+        self._finalized = False
+
+    # ------------------------------------------------------------- builders
+    def coord_index(self, coord_name: str) -> int:
+        return self.mech.coord_names.index(coord_name)
+
+    def add_coordinate_actuator(self, name, coord, optimal_force=1.0,
+                                min_control=-np.inf, max_control=np.inf):
+        ci = self.coord_index(coord) if isinstance(coord, str) else coord
+        self.actuators.append(CoordinateActuatorSpec(
+            name, ci, float(optimal_force), float(min_control),
+            float(max_control)))
+
+    def add_spring_generalized_force(self, name, coord, stiffness=0.0,
+                                     rest_length=0.0, viscosity=0.0):
+        ci = self.coord_index(coord) if isinstance(coord, str) else coord
+        self.springs.append(SpringGeneralizedForceSpec(
+            name, ci, float(stiffness), float(rest_length), float(viscosity)))
+
+    def add_muscle(self, name, path, params=None,
+                   ignore_activation_dynamics=False,
+                   ignore_tendon_compliance=False,
+                   tendon_dynamics_implicit=False,
+                   ignore_passive_fiber_force=False):
+        if params is None:
+            params = dgf.default_muscle_params()
+        self.muscles.append(MuscleSpec(
+            name, tuple((b, tuple(loc)) for b, loc in path),
+            ignore_activation_dynamics, ignore_tendon_compliance,
+            tendon_dynamics_implicit, ignore_passive_fiber_force))
+        self._muscle_params.append(params)
+
+    def add_station_contact(self, name, body, location, **kwargs):
+        self.contacts.append(StationContactSpec(name, body, tuple(location),
+                                                **kwargs))
+
+    def add_kinematic_constraint(self, name, fn):
+        """fn(mech_params, q) -> (k,) position-level constraint residual."""
+        self.kinematic_constraints.append((name, fn))
+
+    # ------------------------------------------------------------- layouts
+    def finalize(self):
+        mech = self.mech
+        self.nq = mech.nq
+        # auxiliary state layout
+        self._aux_index: list[tuple[str, str]] = []  # (muscle, kind)
+        for mspec in self.muscles:
+            if not mspec.ignore_activation_dynamics:
+                self._aux_index.append((mspec.name, "activation"))
+            if not mspec.ignore_tendon_compliance:
+                self._aux_index.append((mspec.name, "normalized_tendon_force"))
+        self.naux = len(self._aux_index)
+        self.ny = 2 * self.nq + self.naux
+        self.nx = len(self.actuators) + len(self.muscles)
+        # implicit-auxiliary derivative variables (per implicit-tendon muscle)
+        self._implicit_aux: list[str] = [
+            m.name for m in self.muscles
+            if (not m.ignore_tendon_compliance) and m.tendon_dynamics_implicit]
+        self.n_implicit_aux = len(self._implicit_aux)
+        # kinematic constraint count
+        p0 = self.default_params()
+        q0 = jnp.zeros(self.nq)
+        self.nphi = sum(int(np.asarray(fn(p0["mech"], q0)).size)
+                        for _, fn in self.kinematic_constraints)
+        self._finalized = True
+        return self
+
+    # names --------------------------------------------------------------
+    def coordinate_paths(self):
+        """Moco-style absolute paths per coordinate."""
+        paths = []
+        k = 0
+        for j in self.mech.joints:
+            if j.kind == "weld":
+                continue
+            paths.append(f"/jointset/{j.name}/{j.coord_name}")
+            k += 1
+        return paths
+
+    def state_names(self):
+        cpaths = self.coordinate_paths()
+        names = [f"{c}/value" for c in cpaths]
+        names += [f"{c}/speed" for c in cpaths]
+        names += [f"/forceset/{m}/{kind}" for m, kind in self._aux_index]
+        return names
+
+    def control_names(self):
+        return ([f"/forceset/{a.name}" for a in self.actuators] +
+                [f"/forceset/{m.name}" for m in self.muscles])
+
+    def default_control_bounds(self):
+        lo, hi = [], []
+        for a in self.actuators:
+            lo.append(a.min_control)
+            hi.append(a.max_control)
+        for _ in self.muscles:
+            lo.append(0.0)
+            hi.append(1.0)
+        return np.array(lo), np.array(hi)
+
+    def default_state_bounds(self):
+        """(lo, hi) per state; coordinates get wide defaults (the reference
+        uses the coordinate's range, MocoProblemRep.cpp:277-361)."""
+        lo = np.full(self.ny, -np.inf)
+        hi = np.full(self.ny, np.inf)
+        # speeds default [-50, 50] like MocoTool defaults
+        lo[self.nq:2 * self.nq] = -50.0
+        hi[self.nq:2 * self.nq] = 50.0
+        for i, (m, kind) in enumerate(self._aux_index):
+            if kind == "activation":
+                lo[2 * self.nq + i], hi[2 * self.nq + i] = 0.0, 1.0
+            else:
+                lo[2 * self.nq + i] = dgf.MIN_NORM_TENDON_FORCE
+                hi[2 * self.nq + i] = dgf.MAX_NORM_TENDON_FORCE
+        return lo, hi
+
+    # ------------------------------------------------------------- params
+    def default_params(self):
+        p = {"mech": self.mech.default_params()}
+        if self.muscles:
+            p["muscles"] = dgf.stack_muscle_params(self._muscle_params)
+        if self.actuators:
+            p["actuator_optimal_force"] = jnp.asarray(
+                [a.optimal_force for a in self.actuators])
+        if self.springs:
+            p["spring"] = {
+                "stiffness": jnp.asarray([s.stiffness for s in self.springs]),
+                "rest_length": jnp.asarray(
+                    [s.rest_length for s in self.springs]),
+                "viscosity": jnp.asarray([s.viscosity for s in self.springs]),
+            }
+        if self.contacts:
+            p["contact"] = {
+                "stiffness": jnp.asarray([c.stiffness for c in self.contacts]),
+                "dissipation": jnp.asarray(
+                    [c.dissipation for c in self.contacts]),
+                "friction_coefficient": jnp.asarray(
+                    [c.friction_coefficient for c in self.contacts]),
+            }
+        return p
+
+    # ------------------------------------------------------------ splitting
+    def split_state(self, y):
+        q = y[..., :self.nq]
+        u = y[..., self.nq:2 * self.nq]
+        z = y[..., 2 * self.nq:]
+        return q, u, z
+
+    def muscle_state(self, z, x, mi: int):
+        """(activation, norm_tendon_force_or_None) for muscle mi."""
+        mspec = self.muscles[mi]
+        act = None
+        ft = None
+        for k, (mname, kind) in enumerate(self._aux_index):
+            if mname != mspec.name:
+                continue
+            if kind == "activation":
+                act = z[k]
+            else:
+                ft = z[k]
+        if act is None:  # activation dynamics ignored: excitation = activation
+            act = x[len(self.actuators) + mi]
+        return act, ft
+
+    # ------------------------------------------------------------- forces
+    def path_lengths(self, p, q):
+        """(n_muscles,) path lengths (straight segments between via points)."""
+        out = []
+        frames = self.mech.frames(p["mech"], q)
+        for mspec in self.muscles:
+            pts = []
+            for body, loc in mspec.path:
+                locv = jnp.asarray(loc, dtype=q.dtype)
+                if body == GROUND:
+                    pts.append(locv)
+                else:
+                    A, o = frames[body]
+                    pts.append(o + A.T @ locv)
+            seg = [jnp.linalg.norm(pts[i + 1] - pts[i] + 1e-30)
+                   for i in range(len(pts) - 1)]
+            out.append(sum(seg))
+        return jnp.stack(out)
+
+    def muscle_path_kinematics(self, p, q, u):
+        """lMT (nm,), vMT (nm,) via jvp through the FK graph."""
+        lMT, vMT = jax.jvp(lambda qq: self.path_lengths(p, qq), (q,), (u,))
+        return lMT, vMT
+
+    def muscle_tendon_forces(self, p, t, q, u, z, x):
+        """Per-muscle path tension (N)."""
+        if not self.muscles:
+            return jnp.zeros(0, dtype=q.dtype)
+        lMT, vMT = self.muscle_path_kinematics(p, q, u)
+        forces = []
+        for mi, mspec in enumerate(self.muscles):
+            mp = {k: v[mi] for k, v in p["muscles"].items()}
+            act, ft = self.muscle_state(z, x, mi)
+            if mspec.ignore_tendon_compliance:
+                f = dgf.rigid_tendon_force(mp, act, lMT[mi], vMT[mi],
+                                           mspec.ignore_passive_fiber_force)
+            else:
+                f = dgf.tendon_force_from_state(mp, ft)
+            forces.append(f)
+        return jnp.stack(forces)
+
+    def applied_generalized_forces(self, p, t, q, u, z, x):
+        """Total applied generalized force vector f_app(t, y, x, p)."""
+        tau = jnp.zeros(self.nq, dtype=q.dtype)
+        # coordinate actuators
+        for ai, a in enumerate(self.actuators):
+            gain = p["actuator_optimal_force"][ai]
+            tau = tau.at[a.coord].add(gain * x[ai])
+        # springs / dampers
+        for si, s in enumerate(self.springs):
+            sp = p["spring"]
+            f = (-sp["stiffness"][si] * (q[s.coord] - sp["rest_length"][si]) -
+                 sp["viscosity"][si] * u[s.coord])
+            tau = tau.at[s.coord].add(f)
+        # muscles: tau += -(dL/dq)^T F  (tension shortens the path)
+        if self.muscles:
+            F = self.muscle_tendon_forces(p, t, q, u, z, x)
+            _, pullback = jax.vjp(lambda qq: self.path_lengths(p, qq), q)
+            tau = tau - pullback(F)[0]
+        # station contacts: tau += J^T f_world
+        if self.contacts:
+            def positions(qq):
+                frames = self.mech.frames(p["mech"], qq)
+                pts = []
+                for c in self.contacts:
+                    A, o = frames[c.body]
+                    pts.append(o + A.T @ jnp.asarray(c.location,
+                                                     dtype=qq.dtype))
+                return jnp.stack(pts)
+
+            pos, pullback = jax.vjp(positions, q)
+            vel = jax.jvp(positions, (q,), (u,))[1]
+            cp = p["contact"]
+            fs = []
+            for cix, c in enumerate(self.contacts):
+                fs.append(avdb_contact_force(
+                    pos[cix], vel[cix], cp["stiffness"][cix],
+                    cp["dissipation"][cix], cp["friction_coefficient"][cix],
+                    c.tangent_velocity_scaling))
+            tau = tau + pullback(jnp.stack(fs))[0]
+        return tau
+
+    # ------------------------------------------------------ kinematic cons
+    def phi(self, p, q):
+        """Stacked position-level constraint residuals (nphi,)."""
+        if not self.kinematic_constraints:
+            return jnp.zeros(0, dtype=q.dtype)
+        return jnp.concatenate([
+            jnp.atleast_1d(fn(p["mech"], q))
+            for _, fn in self.kinematic_constraints])
+
+    def constraint_jacobian(self, p, q):
+        return jax.jacfwd(lambda qq: self.phi(p, qq))(q)
+
+    # -------------------------------------------------------------- dynamics
+    def multibody_explicit(self, p, t, q, u, z, x, lam):
+        """udot = M^{-1} (f_app - bias - G^T lam)."""
+        tau = self.applied_generalized_forces(p, t, q, u, z, x)
+        if self.nphi:
+            G = self.constraint_jacobian(p, q)
+            tau = tau - G.T @ lam
+        M = self.mech.mass_matrix(p["mech"], q)
+        b = self.mech.bias_forces(p["mech"], q, u)
+        return jnp.linalg.solve(M, tau - b)
+
+    def multibody_implicit_residual(self, p, t, q, u, z, x, lam, udot):
+        """M udot + G^T lam - (f_app - bias); scaled by nothing (N m)."""
+        tau = self.applied_generalized_forces(p, t, q, u, z, x)
+        if self.nphi:
+            G = self.constraint_jacobian(p, q)
+            tau = tau - G.T @ lam
+        M = self.mech.mass_matrix(p["mech"], q)
+        b = self.mech.bias_forces(p["mech"], q, u)
+        return M @ udot - (tau - b)
+
+    def aux_dynamics(self, p, t, q, u, z, x, implicit_aux_derivs=None):
+        """zdot (naux,). Implicit-tendon muscles take their derivative from
+        ``implicit_aux_derivs`` (the zeta variables of the transcription)."""
+        if self.naux == 0:
+            return jnp.zeros(0, dtype=q.dtype)
+        lMT, vMT = (self.muscle_path_kinematics(p, q, u)
+                    if self.muscles else (None, None))
+        zdot = []
+        imp_i = 0
+        for k, (mname, kind) in enumerate(self._aux_index):
+            mi = next(i for i, m in enumerate(self.muscles)
+                      if m.name == mname)
+            mspec = self.muscles[mi]
+            mp = {kk: v[mi] for kk, v in p["muscles"].items()}
+            act, ft = self.muscle_state(z, x, mi)
+            exc = x[len(self.actuators) + mi]
+            if kind == "activation":
+                zdot.append(dgf.activation_dynamics(
+                    exc, act, mp["activation_time_constant"],
+                    mp["deactivation_time_constant"]))
+            else:
+                if mspec.tendon_dynamics_implicit:
+                    zdot.append(implicit_aux_derivs[
+                        self._implicit_aux.index(mname)])
+                else:
+                    zdot.append(dgf.explicit_tendon_dynamics(
+                        mp, act, ft, lMT[mi], vMT[mi],
+                        mspec.ignore_passive_fiber_force))
+        return jnp.stack(zdot)
+
+    def implicit_aux_residuals(self, p, t, q, u, z, x, implicit_aux_derivs):
+        """Equilibrium residuals for implicit-tendon muscles (normalized by
+        max isometric force for conditioning)."""
+        if not self._implicit_aux:
+            return jnp.zeros(0, dtype=q.dtype)
+        lMT, vMT = self.muscle_path_kinematics(p, q, u)
+        res = []
+        for ii, mname in enumerate(self._implicit_aux):
+            mi = next(i for i, m in enumerate(self.muscles)
+                      if m.name == mname)
+            mspec = self.muscles[mi]
+            mp = {kk: v[mi] for kk, v in p["muscles"].items()}
+            act, ft = self.muscle_state(z, x, mi)
+            r = dgf.implicit_tendon_residual(
+                mp, act, ft, implicit_aux_derivs[ii], lMT[mi], vMT[mi],
+                mspec.ignore_passive_fiber_force)
+            res.append(r / mp["max_isometric_force"])
+        return jnp.stack(res)
+
+    def state_derivatives(self, p, t, q, u, z, x, lam,
+                          implicit_aux_derivs=None, udot=None):
+        """Full explicit ydot; pass udot to skip the M solve (implicit)."""
+        if udot is None:
+            udot = self.multibody_explicit(p, t, q, u, z, x, lam)
+        zdot = self.aux_dynamics(p, t, q, u, z, x, implicit_aux_derivs)
+        return jnp.concatenate([u, udot, zdot])

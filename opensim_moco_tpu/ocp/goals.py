@@ -1,0 +1,246 @@
+"""Goal library.
+
+TPU-native re-design of the reference goal system
+(reference Moco/Moco/MocoGoal/MocoGoal.h:77-452): every goal defines an
+``integrand`` evaluated on the whole time grid (one fused vmap pass) and a
+``value`` combining endpoint information with the integral. A goal is used
+either as a cost term (weighted into the objective) or as an endpoint
+constraint (``MocoGoal.h:97-116`` cost vs endpoint-constraint modes).
+
+Inputs mirror the reference's IntegrandInput/GoalInput
+(MocoGoal.h:156-215): time, full state y, controls x, multipliers lam,
+parameters p, and the model for computed quantities.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Callable, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class Goal:
+    name: str = "goal"
+    weight: float = 1.0
+    mode: str = "cost"  # "cost" | "endpoint_constraint"
+    # bounds for endpoint-constraint mode (per output element)
+    constraint_bounds: tuple = (0.0, 0.0)
+    divide_by_duration: bool = False
+
+    # number of outputs in endpoint-constraint mode
+    num_outputs: int = 1
+
+    def integrand(self, rep, t, y, x, lam, p):
+        return jnp.zeros((), dtype=t.dtype)
+
+    def value(self, rep, initial, final, integral, p):
+        """initial/final are (t, y, x, lam) tuples; integral is the
+        quadrature of :meth:`integrand`. Default: the integral itself."""
+        t0 = initial[0]
+        tf = final[0]
+        val = integral
+        if self.divide_by_duration:
+            val = val / (tf - t0)
+        return val
+
+
+@dataclasses.dataclass
+class ControlGoal(Goal):
+    """Sum_i w_i |x_i|^p integrated over time
+    (reference MocoControlGoal.cpp:30-80). Weights by control name or regex
+    pattern; exponent >= 2 keeps smoothness (reference allows >=1 with
+    abs smoothing; p=2 default... reference default exponent is 2)."""
+    name: str = "control_effort"
+    exponent: int = 2
+    control_weights: dict = dataclasses.field(default_factory=dict)
+    pattern_weights: dict = dataclasses.field(default_factory=dict)
+
+    def _weights(self, control_names):
+        w = np.ones(len(control_names))
+        for pat, pw in self.pattern_weights.items():
+            for i, cn in enumerate(control_names):
+                if re.fullmatch(pat, cn):
+                    w[i] = pw
+        for cn, cw in self.control_weights.items():
+            w[control_names.index(cn)] = cw
+        return w
+
+    def integrand(self, rep, t, y, x, lam, p):
+        w = jnp.asarray(self._weights(rep.control_names), dtype=x.dtype)
+        if self.exponent == 2:
+            return jnp.sum(w * x * x)
+        return jnp.sum(w * jnp.abs(x) ** self.exponent)
+
+
+@dataclasses.dataclass
+class FinalTimeGoal(Goal):
+    """Minimize final time (reference MocoFinalTimeGoal, MocoGoal.h)."""
+    name: str = "final_time"
+
+    def value(self, rep, initial, final, integral, p):
+        return final[0]
+
+
+@dataclasses.dataclass
+class StateTrackingGoal(Goal):
+    """Weighted squared tracking of reference state trajectories
+    (reference MocoStateTrackingGoal.h). ``reference`` maps state name ->
+    (times (K,), values (K,)); linear interpolation inside the graph."""
+    name: str = "state_tracking"
+    reference: dict = dataclasses.field(default_factory=dict)
+    state_weights: dict = dataclasses.field(default_factory=dict)
+    scale_by_range: bool = False
+
+    def integrand(self, rep, t, y, x, lam, p):
+        total = jnp.zeros((), dtype=t.dtype)
+        for name, (times, values) in self.reference.items():
+            i = rep.state_names.index(name)
+            w = self.state_weights.get(name, 1.0)
+            if self.scale_by_range:
+                rng = float(np.max(values) - np.min(values))
+                if rng > 1e-12:
+                    w = w / rng ** 2
+            ref = jnp.interp(t, jnp.asarray(times, dtype=t.dtype),
+                             jnp.asarray(values, dtype=t.dtype))
+            total = total + w * (y[i] - ref) ** 2
+        return total
+
+
+@dataclasses.dataclass
+class SumSquaredStateGoal(Goal):
+    """Sum of squared state values, with optional name regex
+    (reference MocoSumSquaredStateGoal.h)."""
+    name: str = "sum_squared_state"
+    pattern: str = ".*"
+    state_weights: dict = dataclasses.field(default_factory=dict)
+
+    def integrand(self, rep, t, y, x, lam, p):
+        total = jnp.zeros((), dtype=t.dtype)
+        for i, sn in enumerate(rep.state_names):
+            if re.fullmatch(self.pattern, sn):
+                w = self.state_weights.get(sn, 1.0)
+                total = total + w * y[i] ** 2
+        return total
+
+
+@dataclasses.dataclass
+class MarkerFinalGoal(Goal):
+    """Distance of a model station to a fixed point at final time
+    (reference MocoMarkerFinalGoal)."""
+    name: str = "marker_final"
+    body: int = 0
+    location: tuple = (0.0, 0.0, 0.0)
+    target: tuple = (0.0, 0.0, 0.0)
+    squared: bool = True
+
+    def value(self, rep, initial, final, integral, p):
+        tf, yf = final[0], final[1]
+        q = yf[:rep.model.nq]
+        pos = rep.model.mech.station_position(
+            p["mech"], q, self.body, jnp.asarray(self.location,
+                                                 dtype=yf.dtype))
+        d2 = jnp.sum((pos - jnp.asarray(self.target, dtype=yf.dtype)) ** 2)
+        return d2 if self.squared else jnp.sqrt(d2 + 1e-16)
+
+
+@dataclasses.dataclass
+class PeriodicityGoal(Goal):
+    """Equate initial and final values of states/controls (optionally
+    negated), endpoint-constraint capable
+    (reference MocoPeriodicityGoal.h:1-147)."""
+    name: str = "periodicity"
+    mode: str = "endpoint_constraint"
+    state_pairs: tuple = ()  # (name, negate) or (name_initial, name_final, negate)
+    control_pairs: tuple = ()
+
+    def __post_init__(self):
+        self.num_outputs = len(self.state_pairs) + len(self.control_pairs)
+
+    def _pair(self, names, pair):
+        if len(pair) == 2 and isinstance(pair[1], bool):
+            a = b = pair[0]
+            negate = pair[1]
+        elif isinstance(pair, str):
+            a = b = pair
+            negate = False
+        else:
+            a, b, negate = pair
+        return names.index(a), names.index(b), negate
+
+    def values(self, rep, initial, final, p):
+        out = []
+        y0, x0 = initial[1], initial[2]
+        yf, xf = final[1], final[2]
+        for pair in self.state_pairs:
+            i, j, negate = self._pair(rep.state_names, pair)
+            out.append(yf[j] + y0[i] if negate else yf[j] - y0[i])
+        for pair in self.control_pairs:
+            i, j, negate = self._pair(rep.control_names, pair)
+            out.append(xf[j] + x0[i] if negate else xf[j] - x0[i])
+        return jnp.stack(out) if out else jnp.zeros(0, dtype=y0.dtype)
+
+    def value(self, rep, initial, final, integral, p):
+        # cost mode: sum of squares of the pair errors
+        v = self.values(rep, initial, final, p)
+        return jnp.sum(v * v)
+
+
+@dataclasses.dataclass
+class InitialActivationGoal(Goal):
+    """Penalize initial activations to prevent "free" initial activation
+    (reference MocoInitialActivationGoal)."""
+    name: str = "initial_activation"
+
+    def value(self, rep, initial, final, integral, p):
+        y0 = initial[1]
+        total = jnp.zeros((), dtype=y0.dtype)
+        m = rep.model
+        for k, (mname, kind) in enumerate(m._aux_index):
+            if kind == "activation":
+                total = total + y0[2 * m.nq + k] ** 2
+        return total
+
+
+@dataclasses.dataclass
+class AverageSpeedGoal(Goal):
+    """(final_pos - initial_pos)/duration - desired = 0 on one coordinate
+    (reference MocoAverageSpeedGoal, used by example2DWalking.cpp:275)."""
+    name: str = "average_speed"
+    mode: str = "endpoint_constraint"
+    coord: int = 0
+    desired_speed: float = 0.0
+
+    def values(self, rep, initial, final, p):
+        t0, y0 = initial[0], initial[1]
+        tf, yf = final[0], final[1]
+        avg = (yf[self.coord] - y0[self.coord]) / (tf - t0)
+        return jnp.stack([avg - self.desired_speed])
+
+    def value(self, rep, initial, final, integral, p):
+        return self.values(rep, initial, final, p)[0] ** 2
+
+
+@dataclasses.dataclass
+class CustomGoal(Goal):
+    """Escape hatch: arbitrary integrand/endpoint closures (the reference's
+    MocoOutputGoal / scripting-custom-goal role)."""
+    name: str = "custom"
+    integrand_fn: Callable | None = None
+    value_fn: Callable | None = None
+
+    def integrand(self, rep, t, y, x, lam, p):
+        if self.integrand_fn is None:
+            return jnp.zeros((), dtype=t.dtype)
+        return self.integrand_fn(rep, t, y, x, lam, p)
+
+    def value(self, rep, initial, final, integral, p):
+        if self.value_fn is None:
+            val = integral
+            if self.divide_by_duration:
+                val = val / (final[0] - initial[0])
+            return val
+        return self.value_fn(rep, initial, final, integral, p)

@@ -1,0 +1,98 @@
+"""Study: problem + solver facade (MocoStudy analogue,
+reference Moco/Moco/MocoStudy.h:71-182 / MocoStudy.cpp:79 solve()).
+
+``Study.solve()`` transcribes the problem, builds/jits the interior-point
+solver, runs it, and expands the flat solution into a named
+:class:`~opensim_moco_tpu.utils.trajectory.Solution` — the analogue of the
+reference call stack MocoStudy::solve -> MocoCasADiSolver::solveImpl ->
+CasOC::Transcription::solve (SURVEY.md section 3.1), collapsed into one
+jitted computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..solver.ipm import IPMOptions, make_solver
+from ..transcribe.transcription import SolverOptions, Transcription
+from ..utils.trajectory import Solution
+from .problem import Problem
+
+
+class Study:
+    def __init__(self, problem: Problem | None = None):
+        self.problem = problem if problem is not None else Problem()
+        self.solver_options = SolverOptions()
+        self.ipm_options = IPMOptions(tol=1e-6, max_iter=1000)
+
+    def update_problem(self) -> Problem:
+        return self.problem
+
+    def set_solver_options(self, **kwargs):
+        self.solver_options = dataclasses.replace(self.solver_options,
+                                                  **kwargs)
+
+    def set_ipm_options(self, **kwargs):
+        self.ipm_options = dataclasses.replace(self.ipm_options, **kwargs)
+
+    def transcription(self) -> Transcription:
+        rep = self.problem.create_rep()
+        return Transcription(rep, self.solver_options)
+
+    def create_guess(self, kind="bounds"):
+        """Flat initial iterate (reference createGuess("bounds"),
+        MocoCasADiSolver.cpp:51-73)."""
+        tr = self.transcription()
+        if kind != "bounds":
+            raise NotImplementedError(kind)
+        return tr.initial_guess()
+
+    def solve(self, guess=None) -> Solution:
+        tr = self.transcription()
+        rep = tr.rep
+        nlp = tr.make_nlp()
+        solve_fn = jax.jit(make_solver(nlp, self.ipm_options))
+        z0 = tr.initial_guess() if guess is None else guess
+        start = _time.perf_counter()
+        res = solve_fn(jnp.asarray(z0))
+        res.z.block_until_ready()
+        duration = _time.perf_counter() - start
+
+        t0, tf, Y, X, L, D, Gm, pcs, ecs, theta = tr.unpack(res.z)
+        ts = np.asarray(tr._grid_times(t0, tf))
+        converged = bool(res.converged)
+
+        deriv_names = []
+        if tr.implicit_mb:
+            deriv_names += [c + "/accel" for c in rep.model.coordinate_paths()]
+        deriv_names += [f"/forceset/{m}/implicit_derivative"
+                        for m in rep.model._implicit_aux]
+
+        sol = Solution(
+            time=ts,
+            state_names=list(rep.state_names),
+            states=np.asarray(Y),
+            control_names=list(rep.control_names),
+            controls=np.asarray(X),
+            multiplier_names=[f"lambda_{i}" for i in range(tr.nlam)],
+            multipliers=np.asarray(L),
+            derivative_names=deriv_names,
+            derivatives=np.asarray(D),
+            parameter_names=[p.name for p in rep.parameters],
+            parameters=np.asarray(theta),
+            success=converged,
+            status=("converged" if converged
+                    else f"max iterations or stall (kkt={float(res.kkt_error):.2e})"),
+            objective=float(res.f),
+            num_iterations=int(res.iterations),
+            solver_duration=duration,
+            kkt_error=float(res.kkt_error),
+        )
+        if not converged:
+            sol.seal()
+        return sol

@@ -73,7 +73,35 @@ def make_solver(nlp: NLP, options: IPMOptions = IPMOptions()) -> Callable:
     The returned function contains no Python-level control flow, so it can be
     jitted, vmapped (batch of initial guesses / parameterized problems via
     closure), and pjit-sharded.
+
+    Variables with equal lower/upper bounds (pinned times/initial states in
+    Moco problems) are eliminated from the optimization space entirely
+    (IPOPT's fixed_variable_treatment=make_parameter), which keeps the
+    fraction-to-boundary rule from collapsing the step size.
     """
+    import numpy as np
+
+    lb_np = np.asarray(nlp.lb, dtype=np.float64)
+    ub_np = np.asarray(nlp.ub, dtype=np.float64)
+    fixed_mask = np.isfinite(lb_np) & (lb_np == ub_np)
+    free_idx = np.nonzero(~fixed_mask)[0]
+    n_full = nlp.n
+    has_fixed = bool(fixed_mask.any())
+    if has_fixed:
+        fixed_template = np.where(fixed_mask, lb_np, 0.0)
+        free_idx_j = jnp.asarray(free_idx)
+
+        def to_full(zr):
+            base = jnp.asarray(fixed_template, dtype=zr.dtype)
+            return base.at[free_idx_j].set(zr)
+
+        full_obj = nlp.objective
+        full_con = nlp.constraints
+        nlp = NLP(n=len(free_idx), m=nlp.m,
+                  objective=lambda zr: full_obj(to_full(zr)),
+                  constraints=lambda zr: full_con(to_full(zr)),
+                  lb=jnp.asarray(lb_np[free_idx]),
+                  ub=jnp.asarray(ub_np[free_idx]))
     f_fn = nlp.objective
     c_fn = nlp.constraints
     grad_f = jax.grad(f_fn)
@@ -88,7 +116,11 @@ def make_solver(nlp: NLP, options: IPMOptions = IPMOptions()) -> Callable:
     opt = options
     n, m = nlp.n, nlp.m
 
-    def solve(z0):
+    def solve(z0_full):
+        if has_fixed:
+            z0 = z0_full[free_idx_j]
+        else:
+            z0 = z0_full
         dtype = z0.dtype
         l = jnp.asarray(nlp.lb, dtype)
         u = jnp.asarray(nlp.ub, dtype)
@@ -315,7 +347,8 @@ def make_solver(nlp: NLP, options: IPMOptions = IPMOptions()) -> Callable:
                      jnp.array(False), jnp.asarray(jnp.inf, dtype),
                      jnp.zeros((), dtype))
         out = jax.lax.while_loop(cond, body, init)
-        return IPMResult(z=out.z, nu=out.nu, f=f_fn(out.z),
+        z_out = to_full(out.z) if has_fixed else out.z
+        return IPMResult(z=z_out, nu=out.nu, f=f_fn(out.z),
                          kkt_error=out.kkt, iterations=out.it,
                          converged=out.converged)
 

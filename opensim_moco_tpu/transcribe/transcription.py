@@ -1,0 +1,474 @@
+"""Direct-collocation transcription: OCP -> NLP as one fused XLA graph.
+
+Re-implements the math of the reference's transcription engines
+(reference Moco/Moco/MocoCasADiSolver/CasOCTranscription.cpp:122-446,
+CasOCTrapezoidal.cpp:26-60, CasOCHermiteSimpson.cpp:26-106, and the
+NLP statements in Moco/doc/MocoTheoryGuide.dox:156-330) with a TPU-first
+structure:
+
+* the per-grid-point DAE is ``vmap``-ed over the whole grid — one batched
+  evaluation instead of the reference's per-point casadi callbacks behind a
+  ``map("thread", N)`` pool (CasOCTranscription.cpp:1179-1225);
+* all defects/quadrature are dense vector algebra on (G, ny) arrays —
+  XLA fuses them with the dynamics;
+* derivatives of the entire NLP come from JAX autodiff of this one graph
+  (replacing CasADi finite differences + sparsity detection,
+  CasOCFunction.cpp:25-105).
+
+Variable layout in the flat decision vector z (cf. the reference's
+time-grouped layout, CasOCTranscription.h:219-387)::
+
+    [t0, tf,
+     states (G, ny) row-major,
+     controls (G, nx),
+     multipliers (G, nlam),
+     derivatives (G, nderiv),          # implicit modes
+     slacks gamma (n_intervals, nphi), # HS velocity correction
+     path-constraint slacks,
+     endpoint-constraint slacks,
+     parameters (np,)]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ocp.problem import ProblemRep
+from ..solver.nlp import NLP
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """Union of MocoDirectCollocationSolver + MocoCasADiSolver settings that
+    affect transcription (reference MocoDirectCollocationSolver.h:86-174)."""
+    transcription_scheme: str = "hermite-simpson"  # | "trapezoidal"
+    num_mesh_intervals: int = 25
+    mesh: tuple | None = None  # custom normalized mesh (n+1 taus in [0, 1])
+    multibody_dynamics_mode: str = "explicit"  # | "implicit"
+    enforce_constraint_derivatives: bool = True
+    interpolate_control_midpoints: bool = True
+    minimize_lagrange_multipliers: bool = False
+    lagrange_multiplier_weight: float = 1.0
+    velocity_correction_bounds: tuple = (-0.1, 0.1)
+    implicit_multibody_acceleration_bounds: tuple = (-1000.0, 1000.0)
+    implicit_auxiliary_derivative_bounds: tuple = (-1000.0, 1000.0)
+    minimize_implicit_multibody_accelerations: bool = False
+    implicit_multibody_accelerations_weight: float = 1.0
+    minimize_implicit_auxiliary_derivatives: bool = False
+    implicit_auxiliary_derivatives_weight: float = 1.0
+
+
+class Transcription:
+    """Builds the NLP for one ProblemRep + options; provides pack/unpack."""
+
+    def __init__(self, rep: ProblemRep, options: SolverOptions):
+        self.rep = rep
+        self.opt = options
+        model = rep.model
+        self.ny = rep.ny
+        self.nx = rep.nx
+        self.nq = model.nq
+        self.nlam = rep.nlam
+        self.hermite_simpson = options.transcription_scheme == "hermite-simpson"
+        if options.transcription_scheme not in ("hermite-simpson",
+                                                "trapezoidal"):
+            raise ValueError(options.transcription_scheme)
+        self.implicit_mb = options.multibody_dynamics_mode == "implicit"
+        self.n_zeta = model.n_implicit_aux
+        self.nderiv = (self.nq if self.implicit_mb else 0) + self.n_zeta
+
+        # normalized mesh
+        if options.mesh is not None:
+            mesh = np.asarray(options.mesh, dtype=np.float64)
+        else:
+            mesh = np.linspace(0.0, 1.0, options.num_mesh_intervals + 1)
+        self.mesh = mesh
+        self.n_int = len(mesh) - 1
+        if self.hermite_simpson:
+            taus = np.empty(2 * self.n_int + 1)
+            taus[0::2] = mesh
+            taus[1::2] = 0.5 * (mesh[:-1] + mesh[1:])
+            self.mesh_idx = np.arange(0, len(taus), 2)
+            self.mid_idx = np.arange(1, len(taus), 2)
+        else:
+            taus = mesh
+            self.mesh_idx = np.arange(len(taus))
+            self.mid_idx = np.arange(0)
+        self.taus = taus
+        self.G = len(taus)
+
+        # velocity-correction slacks only exist for HS + constraint derivs
+        self.n_gamma = (self.nlam if (self.hermite_simpson and self.nlam and
+                                      options.enforce_constraint_derivatives)
+                        else 0)
+
+        # quadrature weights over normalized time (multiply by duration)
+        w = np.zeros(self.G)
+        dtau = np.diff(mesh)
+        if self.hermite_simpson:
+            for i, h in enumerate(dtau):
+                w[2 * i] += h / 6.0
+                w[2 * i + 1] += 4.0 * h / 6.0
+                w[2 * i + 2] += h / 6.0
+        else:
+            for i, h in enumerate(dtau):
+                w[i] += h / 2.0
+                w[i + 1] += h / 2.0
+        self.quad_w = w
+
+        # path-constraint slack bookkeeping: a slack per two-sided component
+        self.n_pc_points = len(self.mesh_idx)
+        self.pc_slack_specs = []  # (pc_index, comp_index)
+        for pi, pc in enumerate(rep.path_constraints):
+            for k in range(len(pc.lower)):
+                if pc.lower[k] != pc.upper[k]:
+                    self.pc_slack_specs.append((pi, k))
+        self.n_pc_slack = len(self.pc_slack_specs) * self.n_pc_points
+
+        # endpoint-constraint goals
+        self.ec_goals = [g for g in rep.goals
+                         if g.mode == "endpoint_constraint"]
+        self.cost_goals = [g for g in rep.goals if g.mode == "cost"]
+        self.ec_slack_specs = []
+        for gi, g in enumerate(self.ec_goals):
+            lo, hi = g.constraint_bounds
+            if lo != hi:
+                self.ec_slack_specs.append(gi)
+        self.n_ec_slack = sum(self.ec_goals[gi].num_outputs
+                              for gi in self.ec_slack_specs)
+
+        self.npar = rep.np
+
+        # ---- flat layout offsets
+        sizes = {
+            "t": 2,
+            "states": self.G * self.ny,
+            "controls": self.G * self.nx,
+            "multipliers": self.G * self.nlam,
+            "derivs": self.G * self.nderiv,
+            "gamma": self.n_int * self.n_gamma,
+            "pc_slack": self.n_pc_slack,
+            "ec_slack": self.n_ec_slack,
+            "params": self.npar,
+        }
+        self.offsets = {}
+        off = 0
+        for k, s in sizes.items():
+            self.offsets[k] = (off, off + s)
+            off += s
+        self.n = off
+
+    # ------------------------------------------------------------- packing
+    def unpack(self, z):
+        o = self.offsets
+        t0 = z[0]
+        tf = z[1]
+        Y = z[o["states"][0]:o["states"][1]].reshape(self.G, self.ny)
+        X = z[o["controls"][0]:o["controls"][1]].reshape(self.G, self.nx)
+        L = z[o["multipliers"][0]:o["multipliers"][1]].reshape(self.G,
+                                                              self.nlam)
+        D = z[o["derivs"][0]:o["derivs"][1]].reshape(self.G, self.nderiv)
+        Gm = z[o["gamma"][0]:o["gamma"][1]].reshape(self.n_int, self.n_gamma)
+        pcs = z[o["pc_slack"][0]:o["pc_slack"][1]]
+        ecs = z[o["ec_slack"][0]:o["ec_slack"][1]]
+        theta = z[o["params"][0]:o["params"][1]]
+        return t0, tf, Y, X, L, D, Gm, pcs, ecs, theta
+
+    def pack(self, t0, tf, Y, X, L=None, D=None, Gm=None, pcs=None, ecs=None,
+             theta=None):
+        def flat(a, size):
+            return (jnp.zeros(size) if a is None else jnp.ravel(a))
+
+        o = self.offsets
+        return jnp.concatenate([
+            jnp.stack([jnp.asarray(t0, float), jnp.asarray(tf, float)]),
+            jnp.ravel(Y), jnp.ravel(X),
+            flat(L, o["multipliers"][1] - o["multipliers"][0]),
+            flat(D, o["derivs"][1] - o["derivs"][0]),
+            flat(Gm, o["gamma"][1] - o["gamma"][0]),
+            flat(pcs, o["pc_slack"][1] - o["pc_slack"][0]),
+            flat(ecs, o["ec_slack"][1] - o["ec_slack"][0]),
+            flat(theta, o["params"][1] - o["params"][0]),
+        ])
+
+    # ------------------------------------------------------------- bounds
+    def bounds(self):
+        rep = self.rep
+        lb = np.full(self.n, -np.inf)
+        ub = np.full(self.n, np.inf)
+        lb[0], ub[0] = rep.t0_bounds
+        lb[1], ub[1] = rep.tf_bounds
+
+        Ylo = np.tile(rep.y_lo, (self.G, 1))
+        Yhi = np.tile(rep.y_hi, (self.G, 1))
+        Ylo[0], Yhi[0] = rep.y0_lo, rep.y0_hi
+        Ylo[-1], Yhi[-1] = rep.yf_lo, rep.yf_hi
+        o = self.offsets
+        lb[o["states"][0]:o["states"][1]] = Ylo.ravel()
+        ub[o["states"][0]:o["states"][1]] = Yhi.ravel()
+
+        Xlo = np.tile(rep.x_lo, (self.G, 1))
+        Xhi = np.tile(rep.x_hi, (self.G, 1))
+        if self.G > 0:
+            Xlo[0], Xhi[0] = rep.x0_lo, rep.x0_hi
+            Xlo[-1], Xhi[-1] = rep.xf_lo, rep.xf_hi
+        lb[o["controls"][0]:o["controls"][1]] = Xlo.ravel()
+        ub[o["controls"][0]:o["controls"][1]] = Xhi.ravel()
+
+        if self.nlam:
+            lb[o["multipliers"][0]:o["multipliers"][1]] = rep.lam_bounds[0]
+            ub[o["multipliers"][0]:o["multipliers"][1]] = rep.lam_bounds[1]
+        if self.nderiv:
+            dlo = []
+            dhi = []
+            if self.implicit_mb:
+                dlo += [self.opt.implicit_multibody_acceleration_bounds[0]] * \
+                    self.nq
+                dhi += [self.opt.implicit_multibody_acceleration_bounds[1]] * \
+                    self.nq
+            dlo += [self.opt.implicit_auxiliary_derivative_bounds[0]] * \
+                self.n_zeta
+            dhi += [self.opt.implicit_auxiliary_derivative_bounds[1]] * \
+                self.n_zeta
+            lb[o["derivs"][0]:o["derivs"][1]] = np.tile(dlo, self.G)
+            ub[o["derivs"][0]:o["derivs"][1]] = np.tile(dhi, self.G)
+        if self.n_gamma:
+            lb[o["gamma"][0]:o["gamma"][1]] = \
+                self.opt.velocity_correction_bounds[0]
+            ub[o["gamma"][0]:o["gamma"][1]] = \
+                self.opt.velocity_correction_bounds[1]
+        # path-constraint slacks: bounds are the constraint's bounds
+        k = 0
+        for (pi, comp) in self.pc_slack_specs:
+            pc = rep.path_constraints[pi]
+            for _ in range(self.n_pc_points):
+                lb[o["pc_slack"][0] + k] = pc.lower[comp]
+                ub[o["pc_slack"][0] + k] = pc.upper[comp]
+                k += 1
+        k = 0
+        for gi in self.ec_slack_specs:
+            g = self.ec_goals[gi]
+            for _ in range(g.num_outputs):
+                lb[o["ec_slack"][0] + k] = g.constraint_bounds[0]
+                ub[o["ec_slack"][0] + k] = g.constraint_bounds[1]
+                k += 1
+        if self.npar:
+            lb[o["params"][0]:o["params"][1]] = rep.param_lo
+            ub[o["params"][0]:o["params"][1]] = rep.param_hi
+        return jnp.asarray(lb), jnp.asarray(ub)
+
+    # ----------------------------------------------------------- dynamics
+    def _grid_times(self, t0, tf):
+        taus = jnp.asarray(self.taus, dtype=t0.dtype)
+        return t0 + (tf - t0) * taus
+
+    def _pointwise(self, p, t, y, x, lam, d):
+        """DAE at one grid point.
+
+        Returns (ydot (ny,), alg (n_alg,)) where alg stacks the implicit
+        multibody residual and implicit auxiliary residuals.
+        """
+        m = self.rep.model
+        q, u, zz = m.split_state(y)
+        zeta = d[self.nq:] if self.implicit_mb else d[:self.n_zeta] \
+            if self.n_zeta else None
+        alg = []
+        if self.implicit_mb:
+            udot = d[:self.nq]
+            res = m.multibody_implicit_residual(p, t, q, u, zz, x, lam, udot)
+            alg.append(res)
+        else:
+            udot = m.multibody_explicit(p, t, q, u, zz, x, lam)
+        if self.n_zeta:
+            alg.append(m.implicit_aux_residuals(p, t, q, u, zz, x, zeta))
+        zdot = m.aux_dynamics(p, t, q, u, zz, x, zeta)
+        ydot = jnp.concatenate([u, udot, zdot])
+        algv = (jnp.concatenate(alg) if alg
+                else jnp.zeros(0, dtype=y.dtype))
+        return ydot, algv, udot
+
+    def _kc_errors(self, p, q, u, udot):
+        """phi, phidot = G u, phiddot = d/dt(G u) at one mesh point
+        (reference MocoCasOCProblem.h:668-736)."""
+        m = self.rep.model
+        phi = m.phi(p, q)
+        if not self.opt.enforce_constraint_derivatives:
+            return phi, jnp.zeros(0, dtype=q.dtype), jnp.zeros(0,
+                                                               dtype=q.dtype)
+        phidot_fn = lambda qq, uu: jax.jvp(lambda qv: m.phi(p, qv), (qq,),
+                                           (uu,))[1]
+        phidot = phidot_fn(q, u)
+        _, phiddot = jax.jvp(lambda qq, uu: phidot_fn(qq, uu), (q, u),
+                             (u, udot))
+        return phi, phidot, phiddot
+
+    # ---------------------------------------------------------- constraints
+    def constraints_fn(self):
+        rep = self.rep
+        m = rep.model
+
+        def constraints(z):
+            t0, tf, Y, X, L, D, Gm, pcs, ecs, theta = self.unpack(z)
+            p = rep.apply_parameters(theta)
+            ts = self._grid_times(t0, tf)
+            h = (tf - t0) * jnp.asarray(np.diff(self.mesh), dtype=z.dtype)
+
+            point = lambda t, y, x, lam, d: self._pointwise(p, t, y, x, lam,
+                                                            d)
+            F, ALG, UDOT = jax.vmap(point)(ts, Y, X, L, D)
+
+            out = []
+            # --- defect constraints
+            if self.hermite_simpson:
+                i0 = self.mesh_idx[:-1]
+                i1 = self.mesh_idx[1:]
+                im = self.mid_idx
+                y0, y1, ym = Y[i0], Y[i1], Y[im]
+                f0, f1, fm = F[i0], F[i1], F[im]
+                hcol = h[:, None]
+                hermite = ym - 0.5 * (y0 + y1) - hcol / 8.0 * (f0 - f1)
+                if self.n_gamma:
+                    # Posa velocity correction on the q rows:
+                    # qbar = hermite(q) + G(qbar)^T gamma
+                    # (MocoTheoryGuide.dox:322-330)
+                    qmid = ym[:, :self.nq]
+                    Gt_gamma = jax.vmap(
+                        lambda qq, gg: m.constraint_jacobian(p, qq).T @ gg)(
+                            qmid, Gm)
+                    hermite = hermite.at[:, :self.nq].add(-Gt_gamma)
+                simpson = y1 - y0 - hcol / 6.0 * (f0 + 4.0 * fm + f1)
+                out.append(hermite.ravel())
+                out.append(simpson.ravel())
+                if self.nx and self.opt.interpolate_control_midpoints:
+                    out.append((X[im] - 0.5 * (X[i0] + X[i1])).ravel())
+            else:
+                y0, y1 = Y[:-1], Y[1:]
+                f0, f1 = F[:-1], F[1:]
+                out.append((y1 - y0 - 0.5 * h[:, None] * (f0 + f1)).ravel())
+
+            # --- algebraic residuals (implicit modes) at every grid point
+            if ALG.shape[-1]:
+                out.append(ALG.ravel())
+
+            # --- kinematic constraint errors at mesh points
+            if self.nlam:
+                Q = Y[:, :self.nq]
+                U = Y[:, self.nq:2 * self.nq]
+                idx = self.mesh_idx
+                kc = jax.vmap(lambda q, u, ud: self._kc_errors(p, q, u, ud))(
+                    Q[idx], U[idx], UDOT[idx])
+                out.append(jnp.concatenate([kc[0].ravel(), kc[1].ravel(),
+                                            kc[2].ravel()]))
+
+            # --- path constraints at mesh points, minus slack if two-sided
+            if rep.path_constraints:
+                idx = self.mesh_idx
+                spos = 0
+                for pi, pc in enumerate(rep.path_constraints):
+                    vals = jax.vmap(
+                        lambda t, y, x, lam: pc.fn(rep, t, y, x, lam, p))(
+                            ts[idx], Y[idx], X[idx], L[idx])
+                    vals = vals.reshape(len(idx), -1)
+                    for k in range(len(pc.lower)):
+                        col = vals[:, k]
+                        if pc.lower[k] == pc.upper[k]:
+                            out.append(col - pc.lower[k])
+                        else:
+                            sl = pcs[spos * self.n_pc_points:
+                                     (spos + 1) * self.n_pc_points]
+                            out.append(col - sl)
+                            spos += 1
+
+            # --- endpoint-constraint goals
+            if self.ec_goals:
+                initial = (ts[0], Y[0], X[0],
+                           L[0] if self.nlam else jnp.zeros(0, z.dtype))
+                final = (ts[-1], Y[-1], X[-1],
+                         L[-1] if self.nlam else jnp.zeros(0, z.dtype))
+                spos = 0
+                for gi, g in enumerate(self.ec_goals):
+                    vals = g.values(rep, initial, final, p)
+                    if gi in self.ec_slack_specs:
+                        k = vals.shape[0]
+                        out.append(vals - ecs[spos:spos + k])
+                        spos += k
+                    else:
+                        lo = g.constraint_bounds[0]
+                        out.append(vals - lo)
+
+            return (jnp.concatenate(out) if out
+                    else jnp.zeros(0, dtype=z.dtype))
+
+        return constraints
+
+    # ------------------------------------------------------------ objective
+    def objective_fn(self):
+        rep = self.rep
+
+        def objective(z):
+            t0, tf, Y, X, L, D, Gm, pcs, ecs, theta = self.unpack(z)
+            p = rep.apply_parameters(theta)
+            ts = self._grid_times(t0, tf)
+            w = (tf - t0) * jnp.asarray(self.quad_w, dtype=z.dtype)
+            total = jnp.zeros((), dtype=z.dtype)
+            initial = (ts[0], Y[0], X[0],
+                       L[0] if self.nlam else jnp.zeros(0, z.dtype))
+            final = (ts[-1], Y[-1], X[-1],
+                     L[-1] if self.nlam else jnp.zeros(0, z.dtype))
+            for g in self.cost_goals:
+                integrand = jax.vmap(
+                    lambda t, y, x, lam: g.integrand(rep, t, y, x, lam, p))(
+                        ts, Y, X, L)
+                S = jnp.sum(w * integrand)
+                total = total + g.weight * g.value(rep, initial, final, S, p)
+            if self.opt.minimize_lagrange_multipliers and self.nlam:
+                lam2 = jnp.sum(L * L, axis=1)
+                total = total + self.opt.lagrange_multiplier_weight * \
+                    jnp.sum(w * lam2)
+            if (self.opt.minimize_implicit_multibody_accelerations and
+                    self.implicit_mb):
+                a2 = jnp.sum(D[:, :self.nq] ** 2, axis=1)
+                total = total + \
+                    self.opt.implicit_multibody_accelerations_weight * \
+                    jnp.sum(w * a2)
+            if (self.opt.minimize_implicit_auxiliary_derivatives and
+                    self.n_zeta):
+                zoff = self.nq if self.implicit_mb else 0
+                d2 = jnp.sum(D[:, zoff:] ** 2, axis=1)
+                total = total + \
+                    self.opt.implicit_auxiliary_derivatives_weight * \
+                    jnp.sum(w * d2)
+            return total
+
+        return objective
+
+    # ---------------------------------------------------------------- NLP
+    def make_nlp(self) -> NLP:
+        lb, ub = self.bounds()
+        cfn = self.constraints_fn()
+        # constraint count via eval on zeros (abstract eval, no FLOPs)
+        m_count = jax.eval_shape(cfn, jax.ShapeDtypeStruct((self.n,),
+                                                           jnp.float64
+                                                           if jax.config.jax_enable_x64
+                                                           else jnp.float32)
+                                 ).shape[0]
+        return NLP(n=self.n, m=int(m_count), objective=self.objective_fn(),
+                   constraints=cfn, lb=lb, ub=ub)
+
+    # --------------------------------------------------------------- guess
+    def initial_guess(self, dtype=None):
+        """Bounds-midpoint guess (reference default,
+        CasOCTranscription.cpp:1123-1150): midpoint where both bounds are
+        finite, else the finite bound, else zero."""
+        lb, ub = self.bounds()
+        lb = np.asarray(lb)
+        ub = np.asarray(ub)
+        mid = np.where(np.isfinite(lb) & np.isfinite(ub), 0.5 * (lb + ub),
+                       np.where(np.isfinite(lb), lb,
+                                np.where(np.isfinite(ub), ub, 0.0)))
+        return jnp.asarray(mid, dtype=dtype)

@@ -1,0 +1,132 @@
+"""Trajectory/Solution containers.
+
+Analogue of MocoTrajectory/MocoSolution (reference
+Moco/Moco/MocoTrajectory.h:98-858): a dense table of time x {states,
+controls, multipliers, derivatives} + parameters, with resampling,
+RMS comparison, and (de)serialization. Solutions add solver status and are
+"sealed" on failure like the reference (MocoTrajectory.h:723-749) — access
+raises unless the solve succeeded or the user unseals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Trajectory:
+    time: np.ndarray  # (G,)
+    state_names: list
+    states: np.ndarray  # (G, ny)
+    control_names: list
+    controls: np.ndarray  # (G, nx)
+    multiplier_names: list = dataclasses.field(default_factory=list)
+    multipliers: np.ndarray | None = None
+    derivative_names: list = dataclasses.field(default_factory=list)
+    derivatives: np.ndarray | None = None
+    parameter_names: list = dataclasses.field(default_factory=list)
+    parameters: np.ndarray | None = None
+
+    def state(self, name):
+        return self.states[:, self.state_names.index(name)]
+
+    def control(self, name):
+        return self.controls[:, self.control_names.index(name)]
+
+    @property
+    def initial_time(self):
+        return float(self.time[0])
+
+    @property
+    def final_time(self):
+        return float(self.time[-1])
+
+    def resample(self, new_time):
+        """Linear-interpolation resample (reference uses GCVSpline,
+        MocoTrajectory.h:235; linear matches tropter Iterate::interpolate)."""
+        new_time = np.asarray(new_time)
+
+        def interp(table):
+            if table is None or table.size == 0:
+                return (None if table is None
+                        else np.zeros((len(new_time), table.shape[1])))
+            return np.stack([
+                np.interp(new_time, self.time, table[:, j])
+                for j in range(table.shape[1])], axis=1)
+
+        return dataclasses.replace(
+            self, time=new_time, states=interp(self.states),
+            controls=interp(self.controls),
+            multipliers=interp(self.multipliers),
+            derivatives=interp(self.derivatives))
+
+    def compare_states_rms(self, other: "Trajectory", names=None):
+        """RMS over common time range (reference
+        compareContinuousVariablesRMS, MocoTrajectory.h:562)."""
+        names = names or [n for n in self.state_names
+                          if n in other.state_names]
+        t_lo = max(self.initial_time, other.initial_time)
+        t_hi = min(self.final_time, other.final_time)
+        t = np.linspace(t_lo, t_hi, 201)
+        a = self.resample(t)
+        b = other.resample(t)
+        err = np.stack([a.state(n) - b.state(n) for n in names])
+        return float(np.sqrt(np.mean(err ** 2)))
+
+    def compare_controls_rms(self, other: "Trajectory", names=None):
+        names = names or [n for n in self.control_names
+                          if n in other.control_names]
+        t_lo = max(self.initial_time, other.initial_time)
+        t_hi = min(self.final_time, other.final_time)
+        t = np.linspace(t_lo, t_hi, 201)
+        a = self.resample(t)
+        b = other.resample(t)
+        err = np.stack([a.control(n) - b.control(n) for n in names])
+        return float(np.sqrt(np.mean(err ** 2)))
+
+
+class SealedSolutionError(RuntimeError):
+    pass
+
+
+@dataclasses.dataclass
+class Solution(Trajectory):
+    """Solver output + stats (MocoSolution analogue,
+    MocoTrajectory.h:739-858)."""
+    success: bool = False
+    status: str = ""
+    objective: float = np.nan
+    objective_breakdown: dict = dataclasses.field(default_factory=dict)
+    num_iterations: int = -1
+    solver_duration: float = np.nan
+    kkt_error: float = np.nan
+    _sealed: bool = False
+
+    def seal(self):
+        self._sealed = True
+        return self
+
+    def unseal(self):
+        self._sealed = False
+        return self
+
+    @property
+    def sealed(self):
+        return self._sealed
+
+    def _check(self):
+        if self._sealed:
+            raise SealedSolutionError(
+                "Solution is sealed (solve failed: %s). Call unseal() to "
+                "access anyway." % self.status)
+
+    def state(self, name):
+        self._check()
+        return super().state(name)
+
+    def control(self, name):
+        self._check()
+        return super().control(name)
