@@ -56,8 +56,8 @@ class Study:
         tr = self.transcription()
         rep = tr.rep
         nlp = tr.make_nlp()
-        solve_fn = jax.jit(make_solver(nlp, self.ipm_options))
         z0 = tr.initial_guess() if guess is None else guess
+        solve_fn = jax.jit(make_solver(nlp, self.ipm_options, scale_z0=z0))
         start = _time.perf_counter()
         res = solve_fn(jnp.asarray(z0))
         res.z.block_until_ready()

@@ -3,19 +3,23 @@
 This replaces the reference's L1 layer (IPOPT + MUMPS behind CasADi /
 tropter bridges, reference CasOCTranscription.cpp:677-692 and
 tropter/optimization/IPOPTSolver.cpp:32-89) with a jit-able, vmap-able,
-shard_map-able solver:
+shard_map-able re-implementation of the Waechter-Biegler algorithm:
 
 * exact gradients / constraint Jacobians / Lagrangian Hessians via JAX
   autodiff on the fused transcription graph — this deletes the reference's
   entire finite-difference + sparsity-detection + ADOL-C/ColPack machinery;
-* the IPOPT algorithmic skeleton (monotone Fiacco-McCormick barrier
+* the IPOPT algorithmic skeleton — monotone Fiacco-McCormick barrier
   schedule, fraction-to-boundary rule, primal-dual bound duals with
-  kappa-Sigma safeguarding, inertia-free regularization retries, l1 merit
-  line search) re-expressed as a single `lax.while_loop` so the entire
-  solve — all iterations — is ONE XLA computation;
+  kappa-Sigma safeguarding, **filter line search** with second-order
+  correction and a feasibility fallback, inertia-free regularization
+  (directional-curvature test of Chiang & Zavala 2016 instead of LBL^T
+  inertia counts, which have no batched TPU factorization) — expressed as a
+  single `lax.while_loop`, so an entire solve is ONE XLA computation;
+* variables with equal bounds (pinned times/initial states) are eliminated
+  (IPOPT fixed_variable_treatment=make_parameter);
 * dense KKT factorization by default (right for Moco-scale problems batched
   on the MXU); structured block-banded kernels plug in behind the same
-  interface (see solver/kkt.py).
+  interface.
 
 The whole solver runs under `vmap`: thousands of trajectory optimizations
 solve simultaneously per chip, each lane with its own convergence flag.
@@ -24,13 +28,15 @@ solve simultaneously per chip, each lane with its own convergence flag.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .nlp import NLP
+
+FILTER_SIZE = 64
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,10 +54,20 @@ class IPMOptions:
     bound_push: float = 1e-2
     delta_w_init: float = 1e-8
     delta_w_max: float = 1e10
-    max_ls: int = 30  # line-search halvings
+    max_ls: int = 20  # line-search halvings
     max_reg: int = 12  # regularization retries
-    armijo_eta: float = 1e-4
-    max_soc: int = 0  # second-order corrections (not yet)
+    # "solved to acceptable level" exit (IPOPT acceptable_tol /
+    # acceptable_iter): stop after this many consecutive iterations within
+    # factor * tol of the KKT conditions; the best iterate seen is returned
+    acceptable_tol_factor: float = 100.0  # IPOPT: acceptable_tol/tol = 100
+    acceptable_iter: int = 15
+    # filter parameters (IPOPT defaults, Waechter-Biegler 2006 Table 1)
+    gamma_theta: float = 1e-5
+    gamma_phi: float = 1e-5
+    s_theta: float = 1.1
+    s_phi: float = 2.3
+    delta_switch: float = 1.0
+    eta_phi: float = 1e-8
 
 
 class IPMResult(NamedTuple):
@@ -63,29 +79,69 @@ class IPMResult(NamedTuple):
     converged: jnp.ndarray
 
 
+class Carry(NamedTuple):
+    z: jnp.ndarray
+    nu: jnp.ndarray
+    wL: jnp.ndarray
+    wU: jnp.ndarray
+    mu: jnp.ndarray
+    it: jnp.ndarray
+    converged: jnp.ndarray
+    kkt: jnp.ndarray
+    alpha_last: jnp.ndarray
+    delta_last: jnp.ndarray
+    filter_theta: jnp.ndarray  # (FILTER_SIZE,)
+    filter_phi: jnp.ndarray  # (FILTER_SIZE,)
+    filter_count: jnp.ndarray
+    theta_scale: jnp.ndarray  # max(1, theta(z0)) for theta_min/theta_max
+    best_z: jnp.ndarray  # best-KKT iterate seen so far
+    best_nu: jnp.ndarray
+    best_kkt: jnp.ndarray
+    acceptable_count: jnp.ndarray
+
+
 def _inf_norm(x):
     return jnp.max(jnp.abs(x)) if x.size else jnp.zeros(())
 
 
-def make_solver(nlp: NLP, options: IPMOptions = IPMOptions()) -> Callable:
-    """Build a pure solve function ``z0 -> IPMResult`` for a fixed NLP.
+def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
+                scale_z0=None):
+    """Build (init_fn, body_fn, cond_fn, finalize_fn) for the IP iteration.
 
-    The returned function contains no Python-level control flow, so it can be
-    jitted, vmapped (batch of initial guesses / parameterized problems via
-    closure), and pjit-sharded.
+    Exposed separately from :func:`make_solver` for observability: a driver
+    can jit ``body_fn`` once and print per-iteration diagnostics (the
+    analogue of the IPOPT iteration log the reference relies on).
 
-    Variables with equal lower/upper bounds (pinned times/initial states in
-    Moco problems) are eliminated from the optimization space entirely
-    (IPOPT's fixed_variable_treatment=make_parameter), which keeps the
-    fraction-to-boundary rule from collapsing the step size.
+    ``scale_z0``: reference point for IPOPT-style gradient-based NLP
+    scaling (nlp_scaling_method=gradient-based): objective and each
+    constraint row are scaled so their gradient inf-norm at this point is
+    at most 100. Essential for multibody problems mixing N, m, s units.
     """
-    import numpy as np
+    opt = options
+
+    f_unscale = 1.0
+    if scale_z0 is not None:
+        z0s = jnp.asarray(scale_z0)
+        g0 = np.asarray(jax.grad(nlp.objective)(z0s))
+        J0 = np.asarray(jax.jacfwd(nlp.constraints)(z0s))
+        gmax = 100.0
+        f_scale = float(min(1.0, gmax / max(np.max(np.abs(g0)), 1e-8)))
+        f_unscale = 1.0 / f_scale
+        c_scale = np.minimum(
+            1.0, gmax / np.maximum(np.max(np.abs(J0), axis=1), 1e-8)) \
+            if nlp.m else np.ones(0)
+        c_scale_j = jnp.asarray(c_scale)
+        base_obj, base_con = nlp.objective, nlp.constraints
+        nlp = NLP(n=nlp.n, m=nlp.m,
+                  objective=lambda z: f_scale * base_obj(z),
+                  constraints=lambda z: c_scale_j.astype(z.dtype) *
+                  base_con(z),
+                  lb=nlp.lb, ub=nlp.ub)
 
     lb_np = np.asarray(nlp.lb, dtype=np.float64)
     ub_np = np.asarray(nlp.ub, dtype=np.float64)
     fixed_mask = np.isfinite(lb_np) & (lb_np == ub_np)
     free_idx = np.nonzero(~fixed_mask)[0]
-    n_full = nlp.n
     has_fixed = bool(fixed_mask.any())
     if has_fixed:
         fixed_template = np.where(fixed_mask, lb_np, 0.0)
@@ -102,37 +158,71 @@ def make_solver(nlp: NLP, options: IPMOptions = IPMOptions()) -> Callable:
                   constraints=lambda zr: full_con(to_full(zr)),
                   lb=jnp.asarray(lb_np[free_idx]),
                   ub=jnp.asarray(ub_np[free_idx]))
+    else:
+        to_full = lambda zr: zr
+
     f_fn = nlp.objective
     c_fn = nlp.constraints
     grad_f = jax.grad(f_fn)
     jac_c = jax.jacfwd(c_fn)
 
     def lagrangian(z, nu):
-        c = c_fn(z)
-        return f_fn(z) + (c @ nu if nlp.m else 0.0)
+        return f_fn(z) + (c_fn(z) @ nu if nlp.m else 0.0)
 
     hess_L = jax.jacfwd(jax.grad(lagrangian, argnums=0), argnums=0)
 
-    opt = options
     n, m = nlp.n, nlp.m
+    lb = np.asarray(nlp.lb, dtype=np.float64)
+    ub = np.asarray(nlp.ub, dtype=np.float64)
+    has_l_np = np.isfinite(lb)
+    has_u_np = np.isfinite(ub)
+    # IPOPT-style bound relaxation keeps a nonempty strict interior.
+    lb = np.where(has_l_np, lb - opt.bound_relax * np.maximum(1.0,
+                                                              np.abs(lb)), lb)
+    ub = np.where(has_u_np, ub + opt.bound_relax * np.maximum(1.0,
+                                                              np.abs(ub)), ub)
 
-    def solve(z0_full):
-        if has_fixed:
-            z0 = z0_full[free_idx_j]
-        else:
-            z0 = z0_full
+    def _dl_du(z, dtype):
+        l = jnp.asarray(lb, dtype)
+        u = jnp.asarray(ub, dtype)
+        dl = jnp.where(jnp.asarray(has_l_np), z - l, 1.0)
+        du = jnp.where(jnp.asarray(has_u_np), u - z, 1.0)
+        return dl, du
+
+    def _theta(z):
+        """Constraint violation ||c||_1 (inf for non-finite)."""
+        c = c_fn(z)
+        v = jnp.sum(jnp.abs(c))
+        return jnp.where(jnp.isfinite(v), v, jnp.inf)
+
+    def _phi(z, mu):
+        """Barrier objective (inf outside the interior)."""
+        dtype = z.dtype
+        dl, du = _dl_du(z, dtype)
+        interior = jnp.all(dl > 0) & jnp.all(du > 0)
+        logs = (jnp.sum(jnp.where(jnp.asarray(has_l_np),
+                                  jnp.log(jnp.where(dl > 0, dl, 1.0)), 0.0)) +
+                jnp.sum(jnp.where(jnp.asarray(has_u_np),
+                                  jnp.log(jnp.where(du > 0, du, 1.0)), 0.0)))
+        val = f_fn(z) - mu * logs
+        bad = ~interior | ~jnp.isfinite(val)
+        return jnp.where(bad, jnp.asarray(jnp.inf, dtype), val)
+
+    def _fresh_filter(theta_scale, dtype):
+        """Filter holding only the theta_max cap (reset on each mu change)."""
+        ftheta = jnp.full((FILTER_SIZE,), jnp.inf, dtype)
+        fphi = jnp.full((FILTER_SIZE,), jnp.inf, dtype)
+        ftheta = ftheta.at[0].set(1e4 * theta_scale)
+        fphi = fphi.at[0].set(-jnp.inf)
+        return ftheta, fphi, jnp.ones((), jnp.int32)
+
+    def init_fn(z0_full):
+        z0 = z0_full[free_idx_j] if has_fixed else z0_full
         dtype = z0.dtype
-        l = jnp.asarray(nlp.lb, dtype)
-        u = jnp.asarray(nlp.ub, dtype)
-        has_l = jnp.isfinite(l)
-        has_u = jnp.isfinite(u)
-        # IPOPT-style bound relaxation so equal lower/upper bounds (used by
-        # Moco problems to pin initial/final states) keep a nonempty interior.
-        l = jnp.where(has_l, l - opt.bound_relax * jnp.maximum(1.0, jnp.abs(l)),
-                      l)
-        u = jnp.where(has_u, u + opt.bound_relax * jnp.maximum(1.0, jnp.abs(u)),
-                      u)
-        # push the start point into the strict interior (IPOPT kappa_1/2)
+        l = jnp.asarray(lb, dtype)
+        u = jnp.asarray(ub, dtype)
+        has_l = jnp.asarray(has_l_np)
+        has_u = jnp.asarray(has_u_np)
         both = has_l & has_u
         width = jnp.where(both, u - l, jnp.inf)
         pl = jnp.minimum(opt.bound_push * jnp.maximum(1.0, jnp.abs(l)),
@@ -141,215 +231,355 @@ def make_solver(nlp: NLP, options: IPMOptions = IPMOptions()) -> Callable:
                          0.25 * width)
         z = jnp.clip(z0, jnp.where(has_l, l + pl, -jnp.inf),
                      jnp.where(has_u, u - pu, jnp.inf))
-        nu = jnp.zeros((m,), dtype)
         mu0 = jnp.asarray(opt.mu_init, dtype)
-
-        def dl_du(z):
-            dl = jnp.where(has_l, z - l, 1.0)
-            du = jnp.where(has_u, u - z, 1.0)
-            return dl, du
-
-        dl, du = dl_du(z)
+        dl, du = _dl_du(z, dtype)
         wL = jnp.where(has_l, mu0 / dl, 0.0)
         wU = jnp.where(has_u, mu0 / du, 0.0)
+        theta_scale = jnp.maximum(1.0, _theta(z))
+        ftheta, fphi, fcount = _fresh_filter(theta_scale, dtype)
+        return Carry(z=z, nu=jnp.zeros((m,), dtype), wL=wL, wU=wU, mu=mu0,
+                     it=jnp.zeros((), jnp.int32), converged=jnp.array(False),
+                     kkt=jnp.asarray(jnp.inf, dtype),
+                     alpha_last=jnp.ones((), dtype),
+                     delta_last=jnp.zeros((), dtype),
+                     filter_theta=ftheta, filter_phi=fphi,
+                     filter_count=fcount, theta_scale=theta_scale,
+                     best_z=z, best_nu=jnp.zeros((m,), dtype),
+                     best_kkt=jnp.asarray(jnp.inf, dtype),
+                     acceptable_count=jnp.zeros((), jnp.int32))
 
+    def body_fn(carry: Carry) -> Carry:
+        z, nu, wL, wU, mu = carry.z, carry.nu, carry.wL, carry.wU, carry.mu
+        dtype = z.dtype
+        has_l = jnp.asarray(has_l_np)
+        has_u = jnp.asarray(has_u_np)
         mu_min = jnp.asarray(opt.tol * opt.mu_min_factor, dtype)
 
-        def barrier_phi(z, mu, rho):
-            """l1-merit: f - mu sum(log dl) - mu sum(log du) + rho ||c||_1.
-            Returns +inf for non-interior / non-finite trial points."""
-            dl, du = dl_du(z)
-            interior = jnp.all(dl > 0) & jnp.all(du > 0)
-            logs = (jnp.sum(jnp.where(has_l, jnp.log(jnp.where(dl > 0, dl, 1.0)),
-                                      0.0)) +
-                    jnp.sum(jnp.where(has_u, jnp.log(jnp.where(du > 0, du, 1.0)),
-                                      0.0)))
-            c = c_fn(z)
-            val = f_fn(z) - mu * logs + rho * jnp.sum(jnp.abs(c))
-            bad = ~interior | ~jnp.isfinite(val)
-            return jnp.where(bad, jnp.asarray(jnp.inf, dtype), val)
+        g = grad_f(z)
+        J = jac_c(z)
+        cz = c_fn(z)
+        W = hess_L(z, nu)
+        dl, du = _dl_du(z, dtype)
+        SigL = jnp.where(has_l, wL / dl, 0.0)
+        SigU = jnp.where(has_u, wU / du, 0.0)
 
-        class Carry(NamedTuple):
-            z: jnp.ndarray
-            nu: jnp.ndarray
-            wL: jnp.ndarray
-            wU: jnp.ndarray
-            mu: jnp.ndarray
-            it: jnp.ndarray
-            converged: jnp.ndarray
-            kkt: jnp.ndarray
-            delta_w_last: jnp.ndarray
+        Jt_nu = J.T @ nu if m else jnp.zeros((n,), dtype)
+        rd = g + Jt_nu - jnp.where(has_l, wL, 0.0) + jnp.where(has_u, wU, 0.0)
+        smax = 100.0
+        ssum = jnp.sum(jnp.abs(nu)) + jnp.sum(jnp.abs(wL)) + jnp.sum(
+            jnp.abs(wU))
+        sd = jnp.maximum(smax, ssum / (m + 2 * n)) / smax
+        sc = jnp.maximum(smax, (jnp.sum(jnp.abs(wL)) + jnp.sum(jnp.abs(wU))) /
+                         jnp.maximum(1, 2 * n)) / smax
 
-        def body(carry: Carry) -> Carry:
-            z, nu, wL, wU, mu = carry.z, carry.nu, carry.wL, carry.wU, carry.mu
-            g = grad_f(z)
-            J = jac_c(z)
-            cz = c_fn(z)
-            W = hess_L(z, nu)
-            dl, du = dl_du(z)
-            SigL = jnp.where(has_l, wL / dl, 0.0)
-            SigU = jnp.where(has_u, wU / du, 0.0)
+        def err(mu_val):
+            compL = jnp.where(has_l, dl * wL - mu_val, 0.0)
+            compU = jnp.where(has_u, du * wU - mu_val, 0.0)
+            return jnp.maximum(
+                _inf_norm(rd) / sd,
+                jnp.maximum(_inf_norm(cz),
+                            jnp.maximum(_inf_norm(compL),
+                                        _inf_norm(compU)) / sc))
 
-            Jt_nu = J.T @ nu if m else jnp.zeros((n,), dtype)
-            rd = g + Jt_nu - jnp.where(has_l, wL, 0.0) + jnp.where(has_u, wU,
-                                                                   0.0)
-            # IPOPT scaling factors s_d, s_c
-            smax = 100.0
-            ssum = jnp.sum(jnp.abs(nu)) + jnp.sum(jnp.abs(wL)) + jnp.sum(
-                jnp.abs(wU))
-            sd = jnp.maximum(smax, ssum / (m + 2 * n)) / smax
-            sc = jnp.maximum(smax,
-                             (jnp.sum(jnp.abs(wL)) + jnp.sum(jnp.abs(wU))) /
-                             jnp.maximum(1, 2 * n)) / smax
+        e0 = err(jnp.zeros((), dtype))
+        # best-iterate + acceptable-level bookkeeping
+        is_best = e0 < carry.best_kkt
+        best_z = jnp.where(is_best, z, carry.best_z)
+        best_nu = jnp.where(is_best, nu, carry.best_nu)
+        best_kkt = jnp.where(is_best, e0, carry.best_kkt)
+        acc_tol = opt.acceptable_tol_factor * opt.tol
+        acceptable_count = jnp.where(e0 <= acc_tol,
+                                     carry.acceptable_count + 1,
+                                     jnp.zeros((), jnp.int32))
+        converged = (e0 <= opt.tol) | \
+            ((acceptable_count >= opt.acceptable_iter) &
+             (best_kkt <= acc_tol))
+        e_mu = err(mu)
+        mu_new = jnp.where(
+            e_mu <= opt.kappa_eps * mu,
+            jnp.maximum(mu_min, jnp.minimum(opt.kappa_mu * mu,
+                                            mu ** opt.theta_mu)),
+            mu)
+        mu_changed = mu_new != mu
+        # reset the filter whenever the barrier parameter changes (IPOPT)
+        ft0, fp0, fc0 = _fresh_filter(carry.theta_scale, dtype)
+        ftheta = jnp.where(mu_changed, ft0, carry.filter_theta)
+        fphi = jnp.where(mu_changed, fp0, carry.filter_phi)
+        fcount = jnp.where(mu_changed, fc0, carry.filter_count)
 
-            def err(mu_val):
-                compL = jnp.where(has_l, dl * wL - mu_val, 0.0)
-                compU = jnp.where(has_u, du * wU - mu_val, 0.0)
-                return jnp.maximum(
-                    _inf_norm(rd) / sd,
-                    jnp.maximum(_inf_norm(cz),
-                                jnp.maximum(_inf_norm(compL),
-                                            _inf_norm(compU)) / sc))
+        rhs1 = -(g + Jt_nu) + jnp.where(has_l, mu_new / dl, 0.0) - \
+            jnp.where(has_u, mu_new / du, 0.0)
+        rhs2 = -cz
+        gphi = g - jnp.where(has_l, mu_new / dl, 0.0) + \
+            jnp.where(has_u, mu_new / du, 0.0)
 
-            e0 = err(jnp.zeros((), dtype))
-            converged = e0 <= opt.tol
-            e_mu = err(mu)
-            mu_new = jnp.where(
-                e_mu <= opt.kappa_eps * mu,
-                jnp.maximum(mu_min,
-                            jnp.minimum(opt.kappa_mu * mu, mu ** opt.theta_mu)),
-                mu)
+        H = W + jnp.diag(SigL + SigU)
+        wscale = jnp.maximum(1.0, _inf_norm(jnp.diagonal(H)))
 
-            # condensed primal-dual system rhs
-            rhs1 = -(g + Jt_nu) + jnp.where(has_l, mu_new / dl, 0.0) - \
-                jnp.where(has_u, mu_new / du, 0.0)
-            rhs2 = -cz
-            gphi = g - jnp.where(has_l, mu_new / dl, 0.0) + \
-                jnp.where(has_u, mu_new / du, 0.0)
-
-            H = W + jnp.diag(SigL + SigU)
-            wscale = jnp.maximum(1.0, _inf_norm(jnp.diagonal(H)))
-
-            def kkt_solve(delta_w):
-                delta_c = 1e-8 * wscale
+        def kkt_solve_rhs(delta_w, r1, r2):
+            delta_c = 1e-8 * wscale
+            if m:
                 K = jnp.block([
                     [H + delta_w * jnp.eye(n, dtype=dtype), J.T],
                     [J, -delta_c * jnp.eye(m, dtype=dtype)],
-                ]) if m else H + delta_w * jnp.eye(n, dtype=dtype)
-                rhs = jnp.concatenate([rhs1, rhs2]) if m else rhs1
-                sol = jnp.linalg.solve(K, rhs)
-                return sol[:n], sol[n:]
+                ])
+                rhs = jnp.concatenate([r1, r2])
+            else:
+                K = H + delta_w * jnp.eye(n, dtype=dtype)
+                rhs = r1
+            sol = jnp.linalg.solve(K, rhs)
+            return sol[:n], sol[n:]
 
-            # inertia-free regularization: retry with growing delta_w until
-            # the direction is finite and gives a descent direction for the
-            # merit function (IPOPT algorithm IC, simplified)
-            theta = 0.5
-            norm_c1 = jnp.sum(jnp.abs(cz))
+        # ---- inertia-free regularization loop with delta warm-starting
+        # (IPOPT: first trial delta = max(delta_min, delta_last / 3); a
+        # line-search failure last iteration escalates the starting delta)
+        def try_delta(state):
+            delta, _, _, _, tries = state
+            dz, dnu = kkt_solve_rhs(delta, rhs1, rhs2)
+            curv = dz @ ((H + delta * jnp.eye(n, dtype=dtype)) @ dz)
+            curv_ok = curv >= 1e-9 * (dz @ dz)
+            size_ok = _inf_norm(dz) <= 1e6 * jnp.maximum(1.0, _inf_norm(z))
+            ok = jnp.all(jnp.isfinite(dz)) & curv_ok & size_ok
+            return delta, dz, dnu, ok, tries
 
-            def try_delta(state):
-                delta, _, _, _, _, tries = state
-                dz, dnu = kkt_solve(delta)
-                gTd = gphi @ dz
-                rho_needed = gTd / jnp.maximum((1 - theta) * norm_c1, 1e-10)
-                rho = jnp.maximum(1.0, 1.5 * rho_needed)
-                Dphi = gTd - rho * norm_c1
-                ok = jnp.all(jnp.isfinite(dz)) & (Dphi < 0)
-                return delta, dz, dnu, rho, ok, tries
+        def reg_cond(state):
+            _, _, _, ok, tries = state
+            return (~ok) & (tries < opt.max_reg)
 
-            def reg_cond(state):
-                delta, _, _, _, ok, tries = state
-                return (~ok) & (tries < opt.max_reg)
+        def reg_body(state):
+            delta, dz, dnu, ok, tries = state
+            new_delta = jnp.maximum(opt.delta_w_init * wscale, delta * 100.0)
+            d2, dz2, dnu2, ok2, _ = try_delta((new_delta, dz, dnu, ok, tries))
+            return (new_delta, dz2, dnu2, ok2, tries + 1)
 
-            def reg_body(state):
-                delta, dz, dnu, rho, ok, tries = state
-                new_delta = jnp.where(tries == 0,
-                                      opt.delta_w_init * wscale, delta * 100.0)
-                d2, dz2, dnu2, rho2, ok2, _ = try_delta(
-                    (new_delta, dz, dnu, rho, ok, tries))
-                return (new_delta, dz2, dnu2, rho2, ok2, tries + 1)
+        delta_first = jnp.where(carry.delta_last > 0,
+                                jnp.maximum(opt.delta_w_init * wscale,
+                                            carry.delta_last / 3.0),
+                                jnp.zeros((), dtype))
+        init_state = try_delta((delta_first, jnp.zeros((n,), dtype),
+                                jnp.zeros((m,), dtype), jnp.array(False),
+                                jnp.array(0)))
+        delta, dz, dnu, ok, _ = jax.lax.while_loop(reg_cond, reg_body,
+                                                   init_state)
 
-            init = try_delta((jnp.zeros((), dtype), jnp.zeros((n,), dtype),
-                              jnp.zeros((m,), dtype), jnp.ones((), dtype),
-                              jnp.array(False), jnp.array(0)))
-            delta, dz, dnu, rho, ok, _ = jax.lax.while_loop(
-                reg_cond, reg_body, init)
+        dwL = jnp.where(has_l, mu_new / dl - wL - SigL * dz, 0.0)
+        dwU = jnp.where(has_u, mu_new / du - wU + SigU * dz, 0.0)
 
-            dwL = jnp.where(has_l, mu_new / dl - wL - SigL * dz, 0.0)
-            dwU = jnp.where(has_u, mu_new / du - wU + SigU * dz, 0.0)
+        tau = jnp.maximum(opt.tau_min, 1.0 - mu_new)
 
-            # fraction-to-boundary step limits
-            tau = jnp.maximum(opt.tau_min, 1.0 - mu_new)
+        def max_step(val, dval, active):
+            safe = jnp.where(active & (dval < 0),
+                             -tau * val / jnp.where(dval < 0, dval, -1.0),
+                             jnp.inf)
+            return jnp.minimum(1.0, jnp.min(safe) if safe.size else 1.0)
 
-            def max_step(val, dval, active):
-                # largest alpha <= 1 with val + alpha dval >= (1 - tau) val
-                safe = jnp.where(active & (dval < 0),
-                                 -tau * val / jnp.where(dval < 0, dval, -1.0),
-                                 jnp.inf)
-                return jnp.minimum(1.0, jnp.min(safe) if safe.size else 1.0)
+        alpha_pr_max = jnp.minimum(max_step(dl, dz, has_l),
+                                   max_step(du, -dz, has_u))
+        alpha_du = jnp.minimum(max_step(wL, dwL, has_l),
+                               max_step(wU, dwU, has_u))
 
-            alpha_pr_max = jnp.minimum(max_step(dl, dz, has_l),
-                                       max_step(du, -dz, has_u))
-            alpha_du = jnp.minimum(max_step(wL, dwL, has_l),
-                                   max_step(wU, dwU, has_u))
+        # ---- filter line search (Waechter-Biegler 2006, Algorithm A)
+        theta0 = _theta(z)
+        phi0 = _phi(z, mu_new)
+        gphiTd = gphi @ dz
+        theta_min = 1e-4 * carry.theta_scale
 
-            # Armijo backtracking on the l1 merit
-            phi0 = barrier_phi(z, mu_new, rho)
-            gTd = gphi @ dz
-            Dphi = gTd - rho * norm_c1
+        def flt_ok(theta_t, phi_t):
+            active = jnp.arange(FILTER_SIZE) < fcount
+            dominated = jnp.any(active & (theta_t >= ftheta) &
+                                (phi_t >= fphi))
+            return (~dominated) & jnp.isfinite(theta_t)
 
-            def ls_cond(state):
-                alpha, done, tries = state
-                return (~done) & (tries < opt.max_ls)
+        def test_alpha(alpha, z_t):
+            theta_t = _theta(z_t)
+            phi_t = _phi(z_t, mu_new)
+            switching = (gphiTd < 0) & \
+                (alpha * jnp.abs(gphiTd) ** opt.s_phi >
+                 opt.delta_switch * theta0 ** opt.s_theta)
+            armijo = phi_t <= phi0 + opt.eta_phi * alpha * gphiTd
+            suff = ((theta_t <= (1 - opt.gamma_theta) * theta0) |
+                    (phi_t <= phi0 - opt.gamma_phi * theta0))
+            use_armijo = switching & (theta0 <= theta_min)
+            accept = flt_ok(theta_t, phi_t) & jnp.where(use_armijo, armijo,
+                                                        suff)
+            by_fdecrease = use_armijo & armijo
+            return accept, by_fdecrease
 
-            def ls_body(state):
-                alpha, done, tries = state
-                phi_trial = barrier_phi(z + alpha * dz, mu_new, rho)
-                accept = phi_trial <= phi0 + opt.armijo_eta * alpha * Dphi
-                return (jnp.where(accept, alpha, alpha * 0.5), accept,
-                        tries + 1)
+        # full step, then one second-order correction, then backtracking
+        z_full = z + alpha_pr_max * dz
+        acc_full, armi_full = test_alpha(alpha_pr_max, z_full)
 
-            alpha, accepted, _ = jax.lax.while_loop(
-                ls_cond, ls_body, (alpha_pr_max, jnp.array(False),
-                                   jnp.array(0)))
-            # if line search failed entirely, take a tiny safeguarded step
-            alpha = jnp.where(accepted, alpha, alpha_pr_max * 2.0 ** (-opt.max_ls))
+        c_soc = alpha_pr_max * cz + c_fn(z_full)
+        dz_soc, _ = kkt_solve_rhs(delta, rhs1, -c_soc)
+        alpha_soc = jnp.minimum(max_step(dl, dz_soc, has_l),
+                                max_step(du, -dz_soc, has_u))
+        z_soc = z + alpha_soc * dz_soc
+        acc_soc_t, armi_soc = test_alpha(alpha_soc, z_soc)
+        acc_soc = (~acc_full) & jnp.all(jnp.isfinite(dz_soc)) & acc_soc_t
 
-            z_new = z + alpha * dz
-            nu_new = nu + alpha * dnu
-            wL_new = wL + alpha_du * dwL
-            wU_new = wU + alpha_du * dwU
-            # kappa-Sigma safeguard keeps bound duals consistent with mu
-            dl_n, du_n = dl_du(z_new)
-            ks = opt.kappa_sigma
-            wL_new = jnp.where(has_l,
-                               jnp.clip(wL_new, mu_new / (ks * dl_n),
-                                        ks * mu_new / dl_n), 0.0)
-            wU_new = jnp.where(has_u,
-                               jnp.clip(wU_new, mu_new / (ks * du_n),
-                                        ks * mu_new / du_n), 0.0)
+        def ls_cond(state):
+            alpha, done, _, tries = state
+            return (~done) & (tries < opt.max_ls)
 
-            # freeze state on converged lanes so vmapped batches are stable
-            keep = converged
-            z_new = jnp.where(keep, z, z_new)
-            nu_new = jnp.where(keep, nu, nu_new)
-            wL_new = jnp.where(keep, wL, wL_new)
-            wU_new = jnp.where(keep, wU, wU_new)
-            mu_out = jnp.where(keep, mu, mu_new)
+        def ls_body(state):
+            alpha, done, by_f, tries = state
+            acc, by_f_t = test_alpha(alpha, z + alpha * dz)
+            return (jnp.where(acc, alpha, alpha * 0.5), acc,
+                    jnp.where(acc, by_f_t, by_f), tries + 1)
 
-            return Carry(z_new, nu_new, wL_new, wU_new, mu_out,
-                         carry.it + jnp.where(keep, 0, 1), converged, e0,
-                         delta)
+        alpha_bt, acc_bt, armi_bt, _ = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (alpha_pr_max * 0.5, jnp.array(False), jnp.array(False),
+             jnp.array(0)))
 
-        def cond(carry: Carry):
-            return (~carry.converged) & (carry.it < opt.max_iter)
+        any_acc = acc_full | acc_soc | acc_bt
+        alpha = jnp.where(acc_full, alpha_pr_max,
+                          jnp.where(acc_soc, alpha_soc,
+                                    jnp.where(acc_bt, alpha_bt, 0.0)))
+        z_acc = jnp.where(acc_full, z_full,
+                          jnp.where(acc_soc, z_soc, z + alpha_bt * dz))
+        by_armijo = jnp.where(acc_full, armi_full,
+                              jnp.where(acc_soc, armi_soc, armi_bt))
 
-        init = Carry(z, nu, wL, wU, mu0, jnp.zeros((), jnp.int32),
-                     jnp.array(False), jnp.asarray(jnp.inf, dtype),
-                     jnp.zeros((), dtype))
-        out = jax.lax.while_loop(cond, body, init)
-        z_out = to_full(out.z) if has_fixed else out.z
-        return IPMResult(z=z_out, nu=out.nu, f=f_fn(out.z),
-                         kkt_error=out.kkt, iterations=out.it,
-                         converged=out.converged)
+        # feasibility fallback when the filter rejects everything (cheap
+        # stand-in for IPOPT's restoration phase): Gauss-Newton step on
+        # ||c||^2, backtracking until the violation actually decreases.
+        if m:
+            # weight by distance-to-bounds so the step does not push into
+            # active bounds (which would collapse the step cap to zero)
+            Dw = jnp.minimum(jnp.minimum(dl, du), 1.0)
+            A = J * Dw[None, :]
+            AAt = A @ A.T + 1e-8 * wscale * jnp.eye(m, dtype=dtype)
+            dz_feas = -Dw * (A.T @ jnp.linalg.solve(AAt, cz))
+        else:
+            dz_feas = jnp.zeros((n,), dtype)
+        alpha_feas0 = jnp.minimum(max_step(dl, dz_feas, has_l),
+                                  max_step(du, -dz_feas, has_u))
+
+        def fb_cond(state):
+            alpha, done, tries = state
+            return (~done) & (tries < opt.max_ls)
+
+        def fb_body(state):
+            alpha, done, tries = state
+            trial = z + alpha * dz_feas
+            th = _theta(trial)
+            ok = jnp.isfinite(th) & (th < theta0) & \
+                jnp.all(jnp.isfinite(trial))
+            return (jnp.where(ok, alpha, alpha * 0.5), ok, tries + 1)
+
+        alpha_feas, feas_ok, _ = jax.lax.while_loop(
+            fb_cond, fb_body,
+            (0.5 * alpha_feas0, jnp.array(False), jnp.array(0)))
+        z_feas = z + alpha_feas * dz_feas
+        z_new = jnp.where(any_acc, z_acc,
+                          jnp.where(feas_ok, z_feas, z))
+
+        # filter augmentation: whenever the step was not a pure
+        # objective-decrease (Armijo) step, block this (theta, phi) region
+        add_entry = any_acc & (~by_armijo)
+        slot = jnp.minimum(fcount, FILTER_SIZE - 1)
+        ftheta_new = jnp.where(
+            add_entry,
+            ftheta.at[slot].set((1 - opt.gamma_theta) * theta0), ftheta)
+        fphi_new = jnp.where(
+            add_entry, fphi.at[slot].set(phi0 - opt.gamma_phi * theta0), fphi)
+        # also augment on fallback so we don't cycle
+        add_fb = (~any_acc)
+        ftheta_new = jnp.where(
+            add_fb, ftheta_new.at[slot].set((1 - opt.gamma_theta) * theta0),
+            ftheta_new)
+        fphi_new = jnp.where(
+            add_fb, fphi_new.at[slot].set(phi0 - opt.gamma_phi * theta0),
+            fphi_new)
+        fcount_new = jnp.minimum(fcount + (add_entry | add_fb),
+                                 FILTER_SIZE - 1)
+
+        nu_new = nu + alpha * dnu
+        dl_n, du_n = _dl_du(z_new, dtype)
+        # Newton step taken: usual dual update. Fallback step taken: the
+        # primal moved without its duals, so re-center bound duals on the
+        # central path (IPOPT does the same when leaving restoration);
+        # no step: freeze duals (drifting them to the kappa-Sigma cap
+        # explodes the dual residual).
+        mu_fb = jnp.minimum(jnp.asarray(opt.mu_init, dtype), mu_new * 10.0)
+        wL_new = jnp.where(any_acc, wL + alpha_du * dwL,
+                           jnp.where(feas_ok, mu_fb / dl_n, wL))
+        wU_new = jnp.where(any_acc, wU + alpha_du * dwU,
+                           jnp.where(feas_ok, mu_fb / du_n, wU))
+        ks = opt.kappa_sigma
+        wL_new = jnp.where(has_l, jnp.clip(wL_new, mu_new / (ks * dl_n),
+                                           ks * mu_new / dl_n), 0.0)
+        wU_new = jnp.where(has_u, jnp.clip(wU_new, mu_new / (ks * du_n),
+                                           ks * mu_new / du_n), 0.0)
+
+        # mu rescue (non-monotone barrier): a rejected Newton step usually
+        # means the iterate slammed into bounds after mu raced ahead;
+        # re-centering with a larger mu pulls it back off (cf. adaptive-mu
+        # strategies, Nocedal/Waechter/Waltz).
+        mu_rescued = jnp.where(any_acc, mu_new,
+                               jnp.minimum(jnp.asarray(opt.mu_init, dtype),
+                                           mu_new * 10.0))
+        rescue = (~any_acc) & (mu_rescued != mu_new)
+        ftheta_new = jnp.where(rescue, ft0, ftheta_new)
+        fphi_new = jnp.where(rescue, fp0, fphi_new)
+        fcount_new = jnp.where(rescue, fc0, fcount_new)
+
+        keep = converged
+        return Carry(
+            z=jnp.where(keep, z, z_new),
+            nu=jnp.where(keep, nu, nu_new),
+            wL=jnp.where(keep, wL, wL_new),
+            wU=jnp.where(keep, wU, wU_new),
+            mu=jnp.where(keep, mu, mu_rescued),
+            it=carry.it + jnp.where(keep, 0, 1),
+            converged=converged,
+            kkt=e0,
+            alpha_last=alpha,
+            # step-quality feedback: rejected or crawling steps escalate the
+            # next iteration's starting regularization; good steps let the
+            # /3 warm start decay it back toward zero
+            delta_last=jnp.where(
+                any_acc, delta,
+                jnp.maximum(delta * 10.0, opt.delta_w_init * wscale)),
+            filter_theta=jnp.where(keep, carry.filter_theta, ftheta_new),
+            filter_phi=jnp.where(keep, carry.filter_phi, fphi_new),
+            filter_count=jnp.where(keep, carry.filter_count, fcount_new),
+            theta_scale=carry.theta_scale,
+            best_z=best_z, best_nu=best_nu, best_kkt=best_kkt,
+            acceptable_count=acceptable_count)
+
+    def cond_fn(carry: Carry):
+        return (~carry.converged) & (carry.it < opt.max_iter)
+
+    def finalize_fn(carry: Carry) -> IPMResult:
+        # report the best iterate seen (matters when the tail oscillates
+        # around the solution before the acceptable-level exit fires)
+        use_best = carry.best_kkt < carry.kkt
+        z_out = jnp.where(use_best, carry.best_z, carry.z)
+        nu_out = jnp.where(use_best, carry.best_nu, carry.nu)
+        kkt_out = jnp.minimum(carry.best_kkt, carry.kkt)
+        return IPMResult(z=to_full(z_out), nu=nu_out,
+                         f=f_unscale * f_fn(z_out),
+                         kkt_error=kkt_out, iterations=carry.it,
+                         converged=carry.converged)
+
+    return init_fn, body_fn, cond_fn, finalize_fn
+
+
+def make_solver(nlp: NLP, options: IPMOptions = IPMOptions(),
+                scale_z0=None) -> Callable:
+    """Build a pure solve function ``z0 -> IPMResult`` for a fixed NLP.
+
+    The returned function contains no Python-level control flow, so it can
+    be jitted, vmapped (batch of initial guesses / parameterized problems
+    via closure), and pjit-sharded.
+    """
+    init_fn, body_fn, cond_fn, finalize_fn = make_kernel(nlp, options,
+                                                         scale_z0=scale_z0)
+
+    def solve(z0_full):
+        out = jax.lax.while_loop(cond_fn, body_fn, init_fn(z0_full))
+        return finalize_fn(out)
 
     return solve
