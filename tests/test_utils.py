@@ -1,0 +1,93 @@
+"""Tables, trajectory container, and rollout."""
+
+import io
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from opensim_moco_tpu.utils import (Trajectory, read_sto, rollout,
+                                    sto_to_trajectory, trajectory_to_sto,
+                                    write_sto)
+from opensim_moco_tpu.utils.tables import StoTable
+
+REF_STO = "/root/reference/Moco/Tests/std_testMocoInverse_subject_18musc_solution.sto"
+
+
+def test_read_reference_golden_sto():
+    t = read_sto(REF_STO)
+    assert t.metadata["success"] == "true"
+    assert abs(float(t.metadata["objective"]) - 1.087741) < 1e-6
+    assert len(t.column_names) == int(t.metadata["num_states"]) + \
+        int(t.metadata["num_controls"]) + int(t.metadata["num_multipliers"]) \
+        + int(t.metadata["num_derivatives"])
+    assert t.time[0] == 0.45
+    act = t.column("/forceset/bifemsh_r/activation")
+    assert abs(act[0] - 0.03372274667379827) < 1e-15
+
+
+def test_sto_roundtrip(tmp_path):
+    tab = StoTable([0.0, 0.1, 0.2], ["a", "b"],
+                   [[1, 2], [3, 4], [5, 6]], {"inDegrees": "no"})
+    p = tmp_path / "t.sto"
+    write_sto(p, tab)
+    t2 = read_sto(str(p))
+    np.testing.assert_allclose(t2.data, tab.data)
+    assert t2.column_names == ["a", "b"]
+
+
+def test_trajectory_sto_roundtrip(tmp_path):
+    from opensim_moco_tpu.utils.trajectory import Solution
+    sol = Solution(
+        time=np.linspace(0, 1, 5),
+        state_names=["/jointset/j/c/value", "/jointset/j/c/speed"],
+        states=np.random.default_rng(0).normal(size=(5, 2)),
+        control_names=["/forceset/act"],
+        controls=np.ones((5, 1)),
+        success=True, objective=1.5)
+    p = tmp_path / "sol.sto"
+    trajectory_to_sto(sol, p)
+    back = sto_to_trajectory(str(p))
+    assert back.state_names == sol.state_names
+    assert back.control_names == sol.control_names
+    np.testing.assert_allclose(back.states, sol.states, atol=1e-12)
+    assert back.success
+    assert abs(back.objective - 1.5) < 1e-12
+
+
+def test_golden_solution_loads_as_trajectory():
+    sol = sto_to_trajectory(REF_STO)
+    assert len(sol.state_names) == 70
+    assert len(sol.control_names) == 33
+    assert sol.success
+
+
+def test_trajectory_resample_and_rms():
+    t = np.linspace(0, 1, 11)
+    tr1 = Trajectory(time=t, state_names=["s"], states=np.sin(t)[:, None],
+                     control_names=[], controls=np.zeros((11, 0)))
+    t2 = np.linspace(0, 1, 31)
+    tr2 = Trajectory(time=t2, state_names=["s"], states=np.sin(t2)[:, None],
+                     control_names=[], controls=np.zeros((31, 0)))
+    rms = tr1.compare_states_rms(tr2)
+    assert rms < 2e-3  # linear-interp error of sin on 0.1 grid
+
+
+def test_rollout_matches_analytic_pendulum():
+    """Rollout of the passive pendulum conserves energy / matches small-angle
+    period approximately."""
+    from opensim_moco_tpu.models import MechModelBuilder
+    from opensim_moco_tpu.models.model import Model
+
+    b = MechModelBuilder(gravity=(0, -9.81, 0))
+    b.add_body("rod", mass=1.0, com=(0, -1.0, 0), kind="revolute",
+               axis=(0, 0, 1), coord_name="theta")
+    model = Model(b.finalize()).finalize()
+    p = model.default_params()
+    tg = np.linspace(0, 2.0, 41)
+    X = np.zeros((41, 0))
+    y0 = jnp.array([0.1, 0.0])
+    ys = rollout(model, p, tg, X, y0, substeps=20)
+    # small-angle: theta(t) = 0.1 cos(sqrt(g/l) t)
+    expected = 0.1 * np.cos(np.sqrt(9.81) * tg)
+    np.testing.assert_allclose(np.asarray(ys[:, 0]), expected, atol=2.5e-3)
