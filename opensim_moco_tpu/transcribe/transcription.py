@@ -335,12 +335,18 @@ class Transcription:
                 if self.n_gamma:
                     # Posa velocity correction on the q rows:
                     # qbar = hermite(q) + G(qbar)^T gamma
-                    # (MocoTheoryGuide.dox:322-330)
+                    # (MocoTheoryGuide.dox:322-330). The gamma freedom is
+                    # pinned by requiring the corrected midpoint to lie on
+                    # the constraint manifold, phi(qbar) = 0 — otherwise the
+                    # optimizer can rail gamma and evaluate midpoint
+                    # dynamics off-manifold.
                     qmid = ym[:, :self.nq]
                     Gt_gamma = jax.vmap(
                         lambda qq, gg: m.constraint_jacobian(p, qq).T @ gg)(
                             qmid, Gm)
                     hermite = hermite.at[:, :self.nq].add(-Gt_gamma)
+                    phi_mid = jax.vmap(lambda qq: m.phi(p, qq))(qmid)
+                    out.append(phi_mid.ravel())
                 simpson = y1 - y0 - hcol / 6.0 * (f0 + 4.0 * fm + f1)
                 out.append(hermite.ravel())
                 out.append(simpson.ravel())
