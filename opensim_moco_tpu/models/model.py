@@ -112,6 +112,9 @@ class Model:
         self._muscle_params: list[dict] = []
         self.contacts: list[StationContactSpec] = []
         self.kinematic_constraints: list[tuple[str, Callable]] = []
+        # PositionMotion analogue (reference Components/PositionMotion.h):
+        # (params, t) -> (q, u, udot); removes multibody states entirely
+        self.position_motion: Callable | None = None
         self._finalized = False
 
     # ------------------------------------------------------------- builders
@@ -152,6 +155,28 @@ class Model:
         """fn(mech_params, q) -> (k,) position-level constraint residual."""
         self.kinematic_constraints.append((name, fn))
 
+    def set_position_motion(self, fn):
+        """Prescribe all coordinates: fn(params, t) -> (q, u, udot).
+
+        The multibody states disappear from the OCP and the multibody
+        dynamics reduce to a force balance (inverse dynamics), the basis
+        of MocoInverse (reference Components/PositionMotion.h:93,
+        MocoTheoryGuide.dox "Prescribed kinematics")."""
+        self.position_motion = fn
+
+    def set_position_motion_from_table(self, times, coord_values):
+        """Build the PositionMotion from sampled coordinate trajectories
+        via cubic splines (PositionMotion::createFromTable analogue).
+        ``coord_values``: (K, nq) array in our coordinate order."""
+        from ..utils.splines import CubicSpline
+
+        spline = CubicSpline(times, coord_values)
+
+        def fn(p, t):
+            return spline(t), spline.derivative(t), spline.second_derivative(t)
+
+        self.position_motion = fn
+
     # ------------------------------------------------------------- layouts
     def finalize(self):
         mech = self.mech
@@ -164,7 +189,8 @@ class Model:
             if not mspec.ignore_tendon_compliance:
                 self._aux_index.append((mspec.name, "normalized_tendon_force"))
         self.naux = len(self._aux_index)
-        self.ny = 2 * self.nq + self.naux
+        self.prescribed = self.position_motion is not None
+        self.ny = self.naux if self.prescribed else 2 * self.nq + self.naux
         self.nx = len(self.actuators) + len(self.muscles)
         # implicit-auxiliary derivative variables (per implicit-tendon muscle)
         self._implicit_aux: list[str] = [
@@ -192,11 +218,13 @@ class Model:
         return paths
 
     def state_names(self):
+        aux = [f"/forceset/{m}/{kind}" for m, kind in self._aux_index]
+        if self.prescribed:
+            return aux
         cpaths = self.coordinate_paths()
         names = [f"{c}/value" for c in cpaths]
         names += [f"{c}/speed" for c in cpaths]
-        names += [f"/forceset/{m}/{kind}" for m, kind in self._aux_index]
-        return names
+        return names + aux
 
     def control_names(self):
         return ([f"/forceset/{a.name}" for a in self.actuators] +
@@ -217,15 +245,17 @@ class Model:
         uses the coordinate's range, MocoProblemRep.cpp:277-361)."""
         lo = np.full(self.ny, -np.inf)
         hi = np.full(self.ny, np.inf)
-        # speeds default [-50, 50] like MocoTool defaults
-        lo[self.nq:2 * self.nq] = -50.0
-        hi[self.nq:2 * self.nq] = 50.0
+        off = 0 if self.prescribed else 2 * self.nq
+        if not self.prescribed:
+            # speeds default [-50, 50] like MocoTool defaults
+            lo[self.nq:2 * self.nq] = -50.0
+            hi[self.nq:2 * self.nq] = 50.0
         for i, (m, kind) in enumerate(self._aux_index):
             if kind == "activation":
-                lo[2 * self.nq + i], hi[2 * self.nq + i] = 0.0, 1.0
+                lo[off + i], hi[off + i] = 0.0, 1.0
             else:
-                lo[2 * self.nq + i] = dgf.MIN_NORM_TENDON_FORCE
-                hi[2 * self.nq + i] = dgf.MAX_NORM_TENDON_FORCE
+                lo[off + i] = dgf.MIN_NORM_TENDON_FORCE
+                hi[off + i] = dgf.MAX_NORM_TENDON_FORCE
         return lo, hi
 
     # ------------------------------------------------------------- params

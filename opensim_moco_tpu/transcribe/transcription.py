@@ -78,7 +78,11 @@ class Transcription:
         if options.transcription_scheme not in ("hermite-simpson",
                                                 "trapezoidal"):
             raise ValueError(options.transcription_scheme)
-        self.implicit_mb = options.multibody_dynamics_mode == "implicit"
+        self.prescribed = model.prescribed
+        # with prescribed kinematics there are no multibody states and no
+        # acceleration variables; the force balance is always "implicit"
+        self.implicit_mb = (options.multibody_dynamics_mode == "implicit"
+                            and not self.prescribed)
         self.n_zeta = model.n_implicit_aux
         self.nderiv = (self.nq if self.implicit_mb else 0) + self.n_zeta
 
@@ -104,7 +108,8 @@ class Transcription:
 
         # velocity-correction slacks only exist for HS + constraint derivs
         self.n_gamma = (self.nlam if (self.hermite_simpson and self.nlam and
-                                      options.enforce_constraint_derivatives)
+                                      options.enforce_constraint_derivatives
+                                      and not self.prescribed)
                         else 0)
 
         # quadrature weights over normalized time (multiply by duration)
@@ -274,6 +279,21 @@ class Transcription:
         multibody residual and implicit auxiliary residuals.
         """
         m = self.rep.model
+        if m.prescribed:
+            # prescribed kinematics (MocoInverse path): multibody states
+            # are known functions of time; dynamics reduce to a net
+            # force balance at every grid point
+            # (MocoTheoryGuide.dox "Prescribed kinematics")
+            q, u, udot_hat = m.position_motion(p, t)
+            zz = y
+            zeta = d[:self.n_zeta] if self.n_zeta else None
+            res = m.multibody_implicit_residual(p, t, q, u, zz, x, lam,
+                                                udot_hat)
+            alg = [res]
+            if self.n_zeta:
+                alg.append(m.implicit_aux_residuals(p, t, q, u, zz, x, zeta))
+            zdot = m.aux_dynamics(p, t, q, u, zz, x, zeta)
+            return zdot, jnp.concatenate(alg), udot_hat
         q, u, zz = m.split_state(y)
         zeta = d[self.nq:] if self.implicit_mb else d[:self.n_zeta] \
             if self.n_zeta else None
@@ -361,8 +381,10 @@ class Transcription:
             if ALG.shape[-1]:
                 out.append(ALG.ravel())
 
-            # --- kinematic constraint errors at mesh points
-            if self.nlam:
+            # --- kinematic constraint errors at mesh points (prescribed
+            # kinematics: phi(q_hat) is data, not a function of decision
+            # variables; multipliers enter through the force balance only)
+            if self.nlam and not self.prescribed:
                 Q = Y[:, :self.nq]
                 U = Y[:, self.nq:2 * self.nq]
                 idx = self.mesh_idx

@@ -1,0 +1,79 @@
+"""Cubic spline interpolation evaluated inside JAX graphs.
+
+Stands in for the reference's GCVSpline resampling/prescription
+(reference MocoUtilities.h:174, PositionMotion's spline functions,
+Components/PositionMotion.h). Coefficients are precomputed with numpy
+(natural boundary conditions); evaluation is a vectorized piecewise cubic
+with `searchsorted`, so q(t), u(t) = q'(t), udot(t) = q''(t) are available
+as pure jittable functions of (traced) time.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class CubicSpline:
+    """Natural cubic spline through (x, y) with analytic derivatives."""
+
+    def __init__(self, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        n = len(x)
+        assert n >= 2 and y.shape[0] == n
+        h = np.diff(x)
+        if n == 2:
+            M = np.zeros((2,) + y.shape[1:])
+        else:
+            # solve tridiagonal system for second derivatives (natural BCs)
+            A = np.zeros((n, n))
+            rhs = np.zeros_like(y)
+            A[0, 0] = 1.0
+            A[-1, -1] = 1.0
+            for i in range(1, n - 1):
+                A[i, i - 1] = h[i - 1]
+                A[i, i] = 2 * (h[i - 1] + h[i])
+                A[i, i + 1] = h[i]
+                rhs[i] = 6 * ((y[i + 1] - y[i]) / h[i] -
+                              (y[i] - y[i - 1]) / h[i - 1])
+            M = np.linalg.solve(A, rhs.reshape(n, -1)).reshape(y.shape)
+        self.x = jnp.asarray(x)
+        self.y = jnp.asarray(y)
+        self.M = jnp.asarray(M)
+        self.h = jnp.asarray(h)
+
+    def _locate(self, t):
+        i = jnp.clip(jnp.searchsorted(self.x, t, side="right") - 1, 0,
+                     len(self.x) - 2)
+        return i
+
+    def __call__(self, t):
+        i = self._locate(t)
+        x0, x1 = self.x[i], self.x[i + 1]
+        h = x1 - x0
+        A = (x1 - t) / h
+        B = (t - x0) / h
+        y0, y1 = self.y[i], self.y[i + 1]
+        M0, M1 = self.M[i], self.M[i + 1]
+        return (A * y0 + B * y1 +
+                ((A ** 3 - A) * M0 + (B ** 3 - B) * M1) * (h * h) / 6.0)
+
+    def derivative(self, t):
+        i = self._locate(t)
+        x0, x1 = self.x[i], self.x[i + 1]
+        h = x1 - x0
+        A = (x1 - t) / h
+        B = (t - x0) / h
+        y0, y1 = self.y[i], self.y[i + 1]
+        M0, M1 = self.M[i], self.M[i + 1]
+        return ((y1 - y0) / h +
+                (-(3 * A ** 2 - 1) * M0 + (3 * B ** 2 - 1) * M1) * h / 6.0)
+
+    def second_derivative(self, t):
+        i = self._locate(t)
+        x0, x1 = self.x[i], self.x[i + 1]
+        h = x1 - x0
+        A = (x1 - t) / h
+        B = (t - x0) / h
+        return A * self.M[i] + B * self.M[i + 1]
