@@ -122,8 +122,10 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
     f_unscale = 1.0
     if scale_z0 is not None:
         z0s = jnp.asarray(scale_z0)
-        g0 = np.asarray(jax.grad(nlp.objective)(z0s))
-        J0 = np.asarray(jax.jacfwd(nlp.constraints)(z0s))
+        # jit these one-off evals: executed eagerly they dispatch op-by-op,
+        # which is pathologically slow through remote-device tunnels
+        g0 = np.asarray(jax.jit(jax.grad(nlp.objective))(z0s))
+        J0 = np.asarray(jax.jit(jax.jacfwd(nlp.constraints))(z0s))
         gmax = 100.0
         f_scale = float(min(1.0, gmax / max(np.max(np.abs(g0)), 1e-8)))
         f_unscale = 1.0 / f_scale

@@ -1,3 +1,4 @@
 from .inverse import Inverse
+from .track import Track
 
-__all__ = ["Inverse"]
+__all__ = ["Inverse", "Track"]
