@@ -60,12 +60,16 @@ class Study:
         solve_fn = jax.jit(make_solver(nlp, self.ipm_options, scale_z0=z0))
         start = _time.perf_counter()
         res = solve_fn(jnp.asarray(z0))
-        res.z.block_until_ready()
+        # ONE device round-trip for everything (d2h is seconds-expensive on
+        # tunneled TPU runtimes)
+        z_h, nu_h, f_h, kkt_h, it_h, conv_h = jax.device_get(
+            (res.z, res.nu, res.f, res.kkt_error, res.iterations,
+             res.converged))
         duration = _time.perf_counter() - start
 
-        t0, tf, Y, X, L, D, Gm, pcs, ecs, theta = tr.unpack(res.z)
-        ts = np.asarray(tr._grid_times(t0, tf))
-        converged = bool(res.converged)
+        t0, tf, Y, X, L, D, Gm, pcs, ecs, theta = tr.unpack(z_h)
+        ts = t0 + (tf - t0) * np.asarray(tr.taus)
+        converged = bool(conv_h)
 
         deriv_names = []
         if tr.implicit_mb:
@@ -87,11 +91,11 @@ class Study:
             parameters=np.asarray(theta),
             success=converged,
             status=("converged" if converged
-                    else f"max iterations or stall (kkt={float(res.kkt_error):.2e})"),
-            objective=float(res.f),
-            num_iterations=int(res.iterations),
+                    else f"max iterations or stall (kkt={float(kkt_h):.2e})"),
+            objective=float(f_h),
+            num_iterations=int(it_h),
             solver_duration=duration,
-            kkt_error=float(res.kkt_error),
+            kkt_error=float(kkt_h),
         )
         if not converged:
             sol.seal()

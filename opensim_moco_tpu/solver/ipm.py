@@ -124,8 +124,9 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         z0s = jnp.asarray(scale_z0)
         # jit these one-off evals: executed eagerly they dispatch op-by-op,
         # which is pathologically slow through remote-device tunnels
-        g0 = np.asarray(jax.jit(jax.grad(nlp.objective))(z0s))
-        J0 = np.asarray(jax.jit(jax.jacfwd(nlp.constraints))(z0s))
+        g0, J0 = jax.device_get(jax.jit(
+            lambda z: (jax.grad(nlp.objective)(z),
+                       jax.jacfwd(nlp.constraints)(z)))(z0s))
         gmax = 100.0
         f_scale = float(min(1.0, gmax / max(np.max(np.abs(g0)), 1e-8)))
         f_unscale = 1.0 / f_scale
@@ -147,19 +148,18 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
     has_fixed = bool(fixed_mask.any())
     if has_fixed:
         fixed_template = np.where(fixed_mask, lb_np, 0.0)
-        free_idx_j = jnp.asarray(free_idx)
+        free_idx_j = free_idx  # numpy; converted inside traces only
 
         def to_full(zr):
             base = jnp.asarray(fixed_template, dtype=zr.dtype)
-            return base.at[free_idx_j].set(zr)
+            return base.at[jnp.asarray(free_idx_j)].set(zr)
 
         full_obj = nlp.objective
         full_con = nlp.constraints
         nlp = NLP(n=len(free_idx), m=nlp.m,
                   objective=lambda zr: full_obj(to_full(zr)),
                   constraints=lambda zr: full_con(to_full(zr)),
-                  lb=jnp.asarray(lb_np[free_idx]),
-                  ub=jnp.asarray(ub_np[free_idx]))
+                  lb=lb_np[free_idx], ub=ub_np[free_idx])
     else:
         to_full = lambda zr: zr
 

@@ -265,7 +265,10 @@ class Transcription:
         if self.npar:
             lb[o["params"][0]:o["params"][1]] = rep.param_lo
             ub[o["params"][0]:o["params"][1]] = rep.param_hi
-        return jnp.asarray(lb), jnp.asarray(ub)
+        # numpy on purpose: device round-trips at build time are extremely
+        # expensive on tunneled TPU runtimes; the solver embeds these as
+        # constants when it traces
+        return lb, ub
 
     # ----------------------------------------------------------- dynamics
     def _grid_times(self, t0, tf):
@@ -494,9 +497,10 @@ class Transcription:
         CasOCTranscription.cpp:1123-1150): midpoint where both bounds are
         finite, else the finite bound, else zero."""
         lb, ub = self.bounds()
-        lb = np.asarray(lb)
-        ub = np.asarray(ub)
         mid = np.where(np.isfinite(lb) & np.isfinite(ub), 0.5 * (lb + ub),
                        np.where(np.isfinite(lb), lb,
                                 np.where(np.isfinite(ub), ub, 0.0)))
-        return jnp.asarray(mid, dtype=dtype)
+        if dtype is None:
+            dtype = (np.float64 if jax.config.jax_enable_x64
+                     else np.float32)
+        return mid.astype(dtype)  # numpy: no device round-trip at build
