@@ -54,7 +54,7 @@ class IPMOptions:
     bound_push: float = 1e-2
     delta_w_init: float = 1e-8
     delta_w_max: float = 1e10
-    max_ls: int = 20  # line-search halvings
+    max_ls: int = 12  # candidate-parallel line-search trial count
     max_reg: int = 12  # regularization retries
     # "solved to acceptable level" exit (IPOPT acceptable_tol /
     # acceptable_iter): stop after this many consecutive iterations within
@@ -121,12 +121,15 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
 
     f_unscale = 1.0
     if scale_z0 is not None:
-        z0s = jnp.asarray(scale_z0)
-        # jit these one-off evals: executed eagerly they dispatch op-by-op,
-        # which is pathologically slow through remote-device tunnels
-        g0, J0 = jax.device_get(jax.jit(
-            lambda z: (jax.grad(nlp.objective)(z),
-                       jax.jacfwd(nlp.constraints)(z)))(z0s))
+        # one-off scaling evals: run jitted ON THE CPU BACKEND — compiling
+        # the full Jacobian graph for the accelerator just for this wastes
+        # minutes on remote-compile setups
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            z0s = jnp.asarray(np.asarray(scale_z0))
+            g0, J0 = jax.device_get(jax.jit(
+                lambda z: (jax.grad(nlp.objective)(z),
+                           jax.jacfwd(nlp.constraints)(z)))(z0s))
         gmax = 100.0
         f_scale = float(min(1.0, gmax / max(np.max(np.abs(g0)), 1e-8)))
         f_unscale = 1.0 / f_scale
@@ -407,7 +410,10 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
             by_fdecrease = use_armijo & armijo
             return accept, by_fdecrease
 
-        # full step, then one second-order correction, then backtracking
+        # full step, then one second-order correction, then CANDIDATE-
+        # PARALLEL backtracking: all trial alphas are evaluated in one
+        # batched pass instead of a sequential halving loop — sequential
+        # inner loops serialize to worst-case across vmap lanes on TPU.
         z_full = z + alpha_pr_max * dz
         acc_full, armi_full = test_alpha(alpha_pr_max, z_full)
 
@@ -419,20 +425,23 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         acc_soc_t, armi_soc = test_alpha(alpha_soc, z_soc)
         acc_soc = (~acc_full) & jnp.all(jnp.isfinite(dz_soc)) & acc_soc_t
 
-        def ls_cond(state):
-            alpha, done, _, tries = state
-            return (~done) & (tries < opt.max_ls)
+        cand_alphas = alpha_pr_max * 0.5 ** jnp.arange(
+            1, opt.max_ls + 1, dtype=dtype)
 
-        def ls_body(state):
-            alpha, done, by_f, tries = state
-            acc, by_f_t = test_alpha(alpha, z + alpha * dz)
-            return (jnp.where(acc, alpha, alpha * 0.5), acc,
-                    jnp.where(acc, by_f_t, by_f), tries + 1)
+        def run_backtracking(_):
+            return jax.vmap(lambda a: test_alpha(a, z + a * dz))(cand_alphas)
 
-        alpha_bt, acc_bt, armi_bt, _ = jax.lax.while_loop(
-            ls_cond, ls_body,
-            (alpha_pr_max * 0.5, jnp.array(False), jnp.array(False),
-             jnp.array(0)))
+        def skip_backtracking(_):
+            k = opt.max_ls
+            return (jnp.zeros((k,), bool), jnp.zeros((k,), bool))
+
+        acc_c, armi_c = jax.lax.cond(acc_full | acc_soc, skip_backtracking,
+                                     run_backtracking, None)
+        any_bt = jnp.any(acc_c)
+        first = jnp.argmax(acc_c)  # first accepted candidate
+        alpha_bt = cand_alphas[first]
+        acc_bt = any_bt
+        armi_bt = armi_c[first]
 
         any_acc = acc_full | acc_soc | acc_bt
         alpha = jnp.where(acc_full, alpha_pr_max,
@@ -457,22 +466,20 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
             dz_feas = jnp.zeros((n,), dtype)
         alpha_feas0 = jnp.minimum(max_step(dl, dz_feas, has_l),
                                   max_step(du, -dz_feas, has_u))
+        fb_alphas = alpha_feas0 * 0.5 ** jnp.arange(1, opt.max_ls + 1,
+                                                    dtype=dtype)
 
-        def fb_cond(state):
-            alpha, done, tries = state
-            return (~done) & (tries < opt.max_ls)
-
-        def fb_body(state):
-            alpha, done, tries = state
-            trial = z + alpha * dz_feas
+        def fb_try(a):
+            trial = z + a * dz_feas
             th = _theta(trial)
-            ok = jnp.isfinite(th) & (th < theta0) & \
+            return jnp.isfinite(th) & (th < theta0) & \
                 jnp.all(jnp.isfinite(trial))
-            return (jnp.where(ok, alpha, alpha * 0.5), ok, tries + 1)
 
-        alpha_feas, feas_ok, _ = jax.lax.while_loop(
-            fb_cond, fb_body,
-            (0.5 * alpha_feas0, jnp.array(False), jnp.array(0)))
+        fb_ok = jax.lax.cond(
+            any_acc, lambda _: jnp.zeros((opt.max_ls,), bool),
+            lambda _: jax.vmap(fb_try)(fb_alphas), None)
+        feas_ok = jnp.any(fb_ok)
+        alpha_feas = fb_alphas[jnp.argmax(fb_ok)]
         z_feas = z + alpha_feas * dz_feas
         z_new = jnp.where(any_acc, z_acc,
                           jnp.where(feas_ok, z_feas, z))
