@@ -71,12 +71,20 @@ class MechModel:
 
     def __init__(self, bodies: Sequence[BodySpec], joints: Sequence[JointSpec],
                  parents: Sequence[int], tree_E: np.ndarray, tree_r: np.ndarray,
-                 gravity: np.ndarray):
+                 gravity: np.ndarray, child_E: np.ndarray | None = None,
+                 child_r: np.ndarray | None = None):
         self.bodies = tuple(bodies)
         self.joints = tuple(joints)
         self.parents = tuple(parents)
         self._tree_E = np.asarray(tree_E, dtype=np.float64)
         self._tree_r = np.asarray(tree_r, dtype=np.float64)
+        # pose of the joint frame in the CHILD body frame (OpenSim joints
+        # attach via offset frames on both sides); identity if absent
+        nb = len(self.bodies)
+        self._child_E = (np.tile(np.eye(3), (nb, 1, 1)) if child_E is None
+                         else np.asarray(child_E, dtype=np.float64))
+        self._child_r = (np.zeros((nb, 3)) if child_r is None
+                         else np.asarray(child_r, dtype=np.float64))
         self._gravity = np.asarray(gravity, dtype=np.float64)
         # coordinate index per body (-1 if weld)
         coord = []
@@ -102,6 +110,8 @@ class MechModel:
             "inertia": jnp.asarray([b.inertia for b in self.bodies]),
             "tree_E": jnp.asarray(self._tree_E),
             "tree_r": jnp.asarray(self._tree_r),
+            "child_E": jnp.asarray(self._child_E),
+            "child_r": jnp.asarray(self._child_r),
             "gravity": jnp.asarray(self._gravity),
         }
 
@@ -128,14 +138,36 @@ class MechModel:
             raise ValueError(spec.kind)
         return E, r, S
 
-    def _Xup_S(self, i, p, q):
-        """6x6 motion transform parent->body i and motion subspace."""
+    @staticmethod
+    def _compose(E1, r1, E2, r2):
+        """Compose coordinate maps x -> E1(x - r1) then -> E2(. - r2)."""
+        return E2 @ E1, r1 + E1.T @ r2
+
+    def _joint_net(self, i, p, q):
+        """Net (E, r) parent-body -> child-body map and S (child coords).
+
+        Chain: parent offset frame -> joint transform -> inverse child
+        offset frame (OpenSim joints attach between two PhysicalOffsetFrames;
+        tree_E/tree_r give the joint frame pose on the parent side,
+        child_E/child_r its pose on the child side)."""
         E_j, r_j, S = self._joint_EjrjS(i, p, q)
         E_T = p["tree_E"][i].astype(q.dtype)
         r_T = p["tree_r"][i].astype(q.dtype)
-        E = E_j @ E_T
-        # net: X_J(q) composed with X_T; r expressed in parent coords
-        r = r_T + E_T.T @ r_j
+        cE = p["child_E"][i].astype(q.dtype)
+        cr = p["child_r"][i].astype(q.dtype)
+        E, r = self._compose(E_T, r_T, E_j, r_j)
+        # inverse child offset: F_c coords -> B_c coords
+        E, r = self._compose(E, r, cE.T, -cE @ cr)
+        if S is not None:
+            # motion subspace from joint-frame coords to child-body coords
+            Z = jnp.zeros((3, 3), dtype=q.dtype)
+            Xc = jnp.block([[cE.T, Z], [-cE.T @ skew(-cE @ cr), cE.T]])
+            S = Xc @ S
+        return E, r, S
+
+    def _Xup_S(self, i, p, q):
+        """6x6 motion transform parent->body i and motion subspace."""
+        E, r, S = self._joint_net(i, p, q)
         Z = jnp.zeros((3, 3), dtype=q.dtype)
         Xup = jnp.block([[E, Z], [-E @ skew(r), E]])
         return Xup, S
@@ -145,11 +177,7 @@ class MechModel:
         o = body origin in world coordinates."""
         out = []
         for i in range(self.nb):
-            E_j, r_j, S = self._joint_EjrjS(i, p, q)
-            E_T = p["tree_E"][i].astype(q.dtype)
-            r_T = p["tree_r"][i].astype(q.dtype)
-            E_ip = E_j @ E_T
-            r_ip = r_T + E_T.T @ r_j  # child origin in parent coords
+            E_ip, r_ip, _ = self._joint_net(i, p, q)
             pa = self.parents[i]
             if pa == GROUND:
                 A = E_ip
@@ -288,16 +316,21 @@ class MechModelBuilder:
         self._parents: list[int] = []
         self._tree_E: list[np.ndarray] = []
         self._tree_r: list[np.ndarray] = []
+        self._child_E: list[np.ndarray] = []
+        self._child_r: list[np.ndarray] = []
         self._name_to_idx: dict[str, int] = {"ground": GROUND}
         self._gravity = np.asarray(gravity, dtype=np.float64)
 
     def add_body(self, name, mass=0.0, com=(0, 0, 0), inertia=None,
                  joint_name=None, kind="weld", parent="ground", axis=(0, 0, 1),
-                 tree_r=(0, 0, 0), tree_E=None, coord_name=None):
+                 tree_r=(0, 0, 0), tree_E=None, coord_name=None,
+                 child_r=(0, 0, 0), child_E=None):
         """Add a body and the joint that connects it to ``parent``.
 
-        ``tree_r``/``tree_E`` give the joint frame pose in the parent frame.
-        ``coord_name`` defaults to ``<joint_name>_coord`` for non-weld joints.
+        ``tree_r``/``tree_E`` give the joint frame pose in the parent frame;
+        ``child_r``/``child_E`` its pose in the child frame (OpenSim's
+        two-sided offset frames). ``coord_name`` defaults to
+        ``<joint_name>_coord`` for non-weld joints.
         """
         if inertia is None:
             inertia = np.zeros((3, 3))
@@ -306,6 +339,8 @@ class MechModelBuilder:
             inertia = np.diag(inertia)
         if tree_E is None:
             tree_E = np.eye(3)
+        if child_E is None:
+            child_E = np.eye(3)
         if joint_name is None:
             joint_name = f"{name}_joint"
         if kind not in _VALID_KINDS:
@@ -323,6 +358,8 @@ class MechModelBuilder:
         self._parents.append(self._name_to_idx[parent])
         self._tree_E.append(np.asarray(tree_E, dtype=np.float64))
         self._tree_r.append(np.asarray(tree_r, dtype=np.float64))
+        self._child_E.append(np.asarray(child_E, dtype=np.float64))
+        self._child_r.append(np.asarray(child_r, dtype=np.float64))
         self._name_to_idx[name] = len(self._bodies) - 1
         return self._name_to_idx[name]
 
@@ -332,4 +369,5 @@ class MechModelBuilder:
     def finalize(self) -> MechModel:
         return MechModel(self._bodies, self._joints, self._parents,
                          np.stack(self._tree_E), np.stack(self._tree_r),
-                         self._gravity)
+                         self._gravity, np.stack(self._child_E),
+                         np.stack(self._child_r))
