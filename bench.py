@@ -36,13 +36,13 @@ def main():
     tr = study.transcription()
     nlp = tr.make_nlp()
     z0 = tr.initial_guess(dtype=jnp.float32)
-    opts = IPMOptions(tol=3e-3, max_iter=250, bound_relax=1e-6,
+    opts = IPMOptions(tol=3e-3, max_iter=150, bound_relax=1e-6,
                       mu_init=1e-1, acceptable_tol_factor=30.0,
                       acceptable_iter=10)
     solve = make_solver(nlp, opts, scale_z0=z0)
     batched = jax.jit(jax.vmap(solve))
 
-    B = 256
+    B = 64
     Z0 = batch_guesses(tr, B, scale=0.05, seed=0).astype(jnp.float32)
 
     # compile + warmup (single summary readback: d2h is seconds-expensive
@@ -56,7 +56,7 @@ def main():
     tfs, n_ok, mean_it = run(Z0)
     tfs.block_until_ready()
 
-    reps = 3
+    reps = 2
     start = time.perf_counter()
     for _ in range(reps):
         tfs, n_ok, mean_it = run(Z0)

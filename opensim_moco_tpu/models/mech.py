@@ -47,6 +47,7 @@ class JointSpec:
     kind: str
     axis: tuple  # unit axis, static
     coord_name: str | None  # None for weld
+    label: str | None = None  # display name for paths (multi-dof chains)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -324,7 +325,7 @@ class MechModelBuilder:
     def add_body(self, name, mass=0.0, com=(0, 0, 0), inertia=None,
                  joint_name=None, kind="weld", parent="ground", axis=(0, 0, 1),
                  tree_r=(0, 0, 0), tree_E=None, coord_name=None,
-                 child_r=(0, 0, 0), child_E=None):
+                 child_r=(0, 0, 0), child_E=None, joint_label=None):
         """Add a body and the joint that connects it to ``parent``.
 
         ``tree_r``/``tree_E`` give the joint frame pose in the parent frame;
@@ -354,7 +355,8 @@ class MechModelBuilder:
         self._bodies.append(BodySpec(name, float(mass),
                                      tuple(np.asarray(com, dtype=np.float64)),
                                      tuple(map(tuple, inertia))))
-        self._joints.append(JointSpec(joint_name, kind, tuple(ax), coord_name))
+        self._joints.append(JointSpec(joint_name, kind, tuple(ax), coord_name,
+                                      joint_label or joint_name))
         self._parents.append(self._name_to_idx[parent])
         self._tree_E.append(np.asarray(tree_E, dtype=np.float64))
         self._tree_r.append(np.asarray(tree_r, dtype=np.float64))

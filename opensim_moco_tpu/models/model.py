@@ -58,13 +58,68 @@ class SpringGeneralizedForceSpec:
 @dataclasses.dataclass(frozen=True)
 class MuscleSpec:
     """DeGrooteFregly2016 muscle acting along a straight-segment via-point
-    path (GeometryPath analogue)."""
+    path (GeometryPath analogue). Path points are tuples:
+
+    * ``("fixed", body, (x, y, z))``
+    * ``("conditional", body, (x, y, z), coord_idx, lo, hi)`` — active only
+      while the coordinate is in [lo, hi] (OpenSim ConditionalPathPoint)
+    * ``("moving", body, ((fx, cx), (fy, cy), (fz, cz)))`` — per-axis
+      location functions of coordinates (OpenSim MovingPathPoint)
+    """
     name: str
-    path: tuple  # ((body_index, (x,y,z)), ...)
+    path: tuple
     ignore_activation_dynamics: bool = False
     ignore_tendon_compliance: bool = False
     tendon_dynamics_implicit: bool = False
     ignore_passive_fiber_force: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class SphereContactSpec:
+    """SmoothSphereHalfSpaceForce vs the ground plane y=0 (the component
+    the reference gait models use; it lives in opensim-core since
+    2020-03-29, reference CHANGELOG.md:37-41 — formula re-derived from
+    Serrancoli et al. 2019 / Falisse et al. 2019 smooth contact)."""
+    name: str
+    body: int
+    location: tuple  # sphere center in body frame
+    radius: float
+    stiffness: float = 1e6  # plane-strain modulus (N/m^2-ish)
+    dissipation: float = 2.0
+    static_friction: float = 0.8
+    dynamic_friction: float = 0.8
+    viscous_friction: float = 0.5
+    transition_velocity: float = 0.2
+    constant_contact_force: float = 1e-5
+    hertz_smoothing: float = 300.0
+    hunt_crossley_smoothing: float = 50.0
+    derivative_smoothing: float = 1e-5
+
+
+def smooth_sphere_halfspace_force(cp_pos, cp_vel, spec: SphereContactSpec):
+    """World force on the body at the sphere's lowest point vs plane y=0.
+
+    Smooth Hertz + Hunt-Crossley dissipation + tanh friction
+    (Serrancoli et al. 2019; parameter names match the reference XML:
+    2D_gait.osim SmoothSphereHalfSpaceForce entries)."""
+    cd = spec.derivative_smoothing
+    indentation = -cp_pos[1]
+    indentation_vel = -cp_vel[1]
+    delta_s = jnp.sqrt(indentation ** 2 + cd)
+    fH = (4.0 / 3.0) * spec.stiffness * jnp.sqrt(spec.radius) * \
+        delta_s ** 1.5
+    fH = fH * 0.5 * (1.0 + jnp.tanh(spec.hertz_smoothing * indentation))
+    damp = 1.0 + 1.5 * spec.dissipation * indentation_vel
+    fHC = fH * damp
+    fn = fHC * 0.5 * (1.0 + jnp.tanh(spec.hunt_crossley_smoothing * damp)) \
+        + spec.constant_contact_force
+    # friction in the plane
+    vt = jnp.sqrt(cp_vel[0] ** 2 + cp_vel[2] ** 2 + cd)
+    vrel = vt / spec.transition_velocity
+    mu = spec.dynamic_friction * jnp.tanh(vrel) + \
+        spec.viscous_friction * vt
+    ft = -mu * fn / vt
+    return jnp.stack([ft * cp_vel[0], fn, ft * cp_vel[2]])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,6 +166,7 @@ class Model:
         self.muscles: list[MuscleSpec] = []
         self._muscle_params: list[dict] = []
         self.contacts: list[StationContactSpec] = []
+        self.sphere_contacts: list[SphereContactSpec] = []
         self.kinematic_constraints: list[tuple[str, Callable]] = []
         # PositionMotion analogue (reference Components/PositionMotion.h):
         # (params, t) -> (q, u, udot); removes multibody states entirely
@@ -141,8 +197,23 @@ class Model:
                    ignore_passive_fiber_force=False):
         if params is None:
             params = dgf.default_muscle_params()
+        norm_path = []
+        for pt in path:
+            if isinstance(pt[0], str):
+                norm_path.append(tuple(pt))
+            else:  # legacy (body, loc) pairs
+                norm_path.append(("fixed", pt[0], tuple(pt[1])))
+        # conditional points must have plain neighbors (true for the
+        # reference gait models); the path-length switch assumes it
+        for i, pt in enumerate(norm_path):
+            if pt[0] == "conditional":
+                assert 0 < i < len(norm_path) - 1, \
+                    "conditional path point cannot be an endpoint"
+                assert norm_path[i - 1][0] != "conditional" and \
+                    norm_path[i + 1][0] != "conditional", \
+                    "adjacent conditional path points unsupported"
         self.muscles.append(MuscleSpec(
-            name, tuple((b, tuple(loc)) for b, loc in path),
+            name, tuple(norm_path),
             ignore_activation_dynamics, ignore_tendon_compliance,
             tendon_dynamics_implicit, ignore_passive_fiber_force))
         self._muscle_params.append(params)
@@ -150,6 +221,10 @@ class Model:
     def add_station_contact(self, name, body, location, **kwargs):
         self.contacts.append(StationContactSpec(name, body, tuple(location),
                                                 **kwargs))
+
+    def add_sphere_contact(self, name, body, location, radius, **kwargs):
+        self.sphere_contacts.append(SphereContactSpec(
+            name, body, tuple(location), float(radius), **kwargs))
 
     def add_kinematic_constraint(self, name, fn):
         """fn(mech_params, q) -> (k,) position-level constraint residual."""
@@ -213,7 +288,7 @@ class Model:
         for j in self.mech.joints:
             if j.kind == "weld":
                 continue
-            paths.append(f"/jointset/{j.name}/{j.coord_name}")
+            paths.append(f"/jointset/{j.label or j.name}/{j.coord_name}")
             k += 1
         return paths
 
@@ -307,22 +382,52 @@ class Model:
         return act, ft
 
     # ------------------------------------------------------------- forces
+    def _path_point_world(self, frames, p, q, pt):
+        """World position of one path point (any kind)."""
+        kind = pt[0]
+        body = pt[1]
+        if kind == "moving":
+            comps = []
+            for (fn, ci) in pt[2]:
+                if fn is None:
+                    comps.append(jnp.zeros((), dtype=q.dtype))
+                else:
+                    comps.append(jnp.asarray(fn(q[ci]), dtype=q.dtype))
+            locv = jnp.stack(comps)
+        else:
+            locv = jnp.asarray(pt[2], dtype=q.dtype)
+        if body == GROUND:
+            return locv
+        A, o = frames[body]
+        return o + A.T @ locv
+
     def path_lengths(self, p, q):
-        """(n_muscles,) path lengths (straight segments between via points)."""
+        """(n_muscles,) path lengths. Conditional path points switch between
+        a-p-b and the direct a-b segment (OpenSim removes the point when its
+        coordinate leaves the range)."""
         out = []
         frames = self.mech.frames(p["mech"], q)
         for mspec in self.muscles:
-            pts = []
-            for body, loc in mspec.path:
-                locv = jnp.asarray(loc, dtype=q.dtype)
-                if body == GROUND:
-                    pts.append(locv)
+            pts = [self._path_point_world(frames, p, q, pt)
+                   for pt in mspec.path]
+            L = jnp.zeros((), dtype=q.dtype)
+            i = 0
+            n = len(pts)
+            while i < n - 1:
+                nxt = mspec.path[i + 1]
+                if nxt[0] == "conditional":
+                    a, pnt, b = pts[i], pts[i + 1], pts[i + 2]
+                    ci, lo, hi = nxt[3], nxt[4], nxt[5]
+                    active = (q[ci] >= lo) & (q[ci] <= hi)
+                    with_pt = jnp.linalg.norm(pnt - a + 1e-30) + \
+                        jnp.linalg.norm(b - pnt + 1e-30)
+                    without = jnp.linalg.norm(b - a + 1e-30)
+                    L = L + jnp.where(active, with_pt, without)
+                    i += 2
                 else:
-                    A, o = frames[body]
-                    pts.append(o + A.T @ locv)
-            seg = [jnp.linalg.norm(pts[i + 1] - pts[i] + 1e-30)
-                   for i in range(len(pts) - 1)]
-            out.append(sum(seg))
+                    L = L + jnp.linalg.norm(pts[i + 1] - pts[i] + 1e-30)
+                    i += 1
+            out.append(L)
         return jnp.stack(out)
 
     def muscle_path_kinematics(self, p, q, u):
@@ -365,6 +470,26 @@ class Model:
             F = self.muscle_tendon_forces(p, t, q, u, z, x)
             _, pullback = jax.vjp(lambda qq: self.path_lengths(p, qq), q)
             tau = tau - pullback(F)[0]
+        # sphere-vs-ground contacts: force at the sphere's lowest point,
+        # applied to the coincident material point (stop_gradient freezes
+        # the body-frame location so J^T maps force AND the contact torque)
+        if self.sphere_contacts:
+            frames = self.mech.frames(p["mech"], q)
+            for spec in self.sphere_contacts:
+                A, o = frames[spec.body]
+                center_w = o + A.T @ jnp.asarray(spec.location,
+                                                 dtype=q.dtype)
+                cp_w = center_w - jnp.asarray([0.0, spec.radius, 0.0],
+                                              dtype=q.dtype)
+                cp_body = jax.lax.stop_gradient(A @ (cp_w - o))
+
+                def cp_fn(qq, b=spec.body, loc=cp_body):
+                    return self.mech.station_position(p["mech"], qq, b, loc)
+
+                pos, pullback = jax.vjp(cp_fn, q)
+                vel = jax.jvp(cp_fn, (q,), (u,))[1]
+                F = smooth_sphere_halfspace_force(pos, vel, spec)
+                tau = tau + pullback(F)[0]
         # station contacts: tau += J^T f_world
         if self.contacts:
             def positions(qq):

@@ -1,0 +1,373 @@
+"""OpenSim .osim model parser -> opensim_moco_tpu Model.
+
+Parses the subset of the OpenSim 4.x XML model format needed by the
+BASELINE configs (2D_gait.osim for example2DWalking MocoTrack;
+subject_walk_armless_18musc.osim for MocoInverse):
+
+* Body (mass, mass_center, inertia)
+* PinJoint / SliderJoint / PlanarJoint / WeldJoint with two-sided
+  PhysicalOffsetFrames (translation + body-fixed x-y-z orientation)
+* DeGrooteFregly2016Muscle with GeometryPath of PathPoint /
+  ConditionalPathPoint / MovingPathPoint (SimmSpline / MultiplierFunction)
+* CoordinateActuator
+* SmoothSphereHalfSpaceForce + ContactSphere / ContactHalfSpace
+* CoordinateCouplerConstraint (LinearFunction / SimmSpline couplings)
+
+Cited structures: reference Moco/Examples/C++/example2DWalking/2D_gait.osim,
+Moco/Tests/subject_walk_armless_18musc.osim.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from ..models import muscle as dgf
+from ..models.mech import GROUND, MechModelBuilder
+from ..models.model import Model
+
+
+def _vec(text, n=3):
+    return np.array([float(x) for x in text.split()])
+
+
+def _euler_xyz_to_E(o):
+    """Body-fixed x-y-z rotation sequence -> coordinate map parent->frame.
+
+    R = Rx Ry Rz (active orientation of the frame in its parent);
+    E = R^T maps parent coordinates to frame coordinates."""
+    cx, sx = np.cos(o[0]), np.sin(o[0])
+    cy, sy = np.cos(o[1]), np.sin(o[1])
+    cz, sz = np.cos(o[2]), np.sin(o[2])
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return (Rx @ Ry @ Rz).T
+
+
+def _find_text(el, tag, default=None):
+    c = el.find(tag)
+    return c.text.strip() if c is not None and c.text else default
+
+
+def _parse_frames(joint_el):
+    """Map offset-frame name -> (socket_parent_path, translation, E)."""
+    frames = {}
+    fr = joint_el.find("frames")
+    if fr is None:
+        return frames
+    for f in fr.findall("PhysicalOffsetFrame"):
+        name = f.get("name")
+        parent = _find_text(f, "socket_parent")
+        t = _vec(_find_text(f, "translation", "0 0 0"))
+        o = _vec(_find_text(f, "orientation", "0 0 0"))
+        frames[name] = (parent, t, _euler_xyz_to_E(o))
+    return frames
+
+
+def _body_of_socket(path):
+    """'/bodyset/femur_r' or '/ground' -> body name."""
+    return path.rstrip("/").split("/")[-1]
+
+
+class _SimmSpline:
+    def __init__(self, x, y):
+        from .splines import CubicSpline
+        self.spline = CubicSpline(np.asarray(x), np.asarray(y))
+
+    def __call__(self, v):
+        return self.spline(v)
+
+
+def _parse_function(el):
+    """Parse a function element (SimmSpline, LinearFunction, Constant,
+    MultiplierFunction) into a callable."""
+    if el is None:
+        return None
+    tag = el.tag
+    if tag == "SimmSpline" or tag == "NaturalCubicSpline":
+        x = _vec(_find_text(el, "x"))
+        y = _vec(_find_text(el, "y"))
+        return _SimmSpline(x, y)
+    if tag == "LinearFunction":
+        coeffs = _vec(_find_text(el, "coefficients"), 2)
+        return lambda v, c=coeffs: c[0] * v + c[1]
+    if tag == "Constant":
+        val = float(_find_text(el, "value", "0"))
+        return lambda v, c=val: c + 0.0 * v
+    if tag == "MultiplierFunction":
+        inner_el = el.find("function")
+        inner = _parse_function(list(inner_el)[0]) if inner_el is not None \
+            else None
+        scale = float(_find_text(el, "scale", "1"))
+        return lambda v, f=inner, s=scale: s * f(v)
+    raise ValueError(f"unsupported function {tag}")
+
+
+def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
+    """Parse an .osim file into a finalized Model.
+
+    ``weld_joints``: joint names to replace with welds at the default
+    coordinate values (ModOpReplaceJointsWithWelds analogue).
+    Returns (model, info) where info carries name maps.
+    """
+    tree = ET.parse(path)
+    root = tree.getroot()
+    model_el = root.find("Model")
+    g = _vec(_find_text(model_el, "gravity", "0 -9.80665 0")) \
+        if gravity is None else np.asarray(gravity)
+
+    builder = MechModelBuilder(gravity=g)
+    weld_q = dict(weld_q or {})
+
+    # ---- bodies
+    bodyset = model_el.find("BodySet")
+    body_props = {}
+    for b in bodyset.find("objects").findall("Body"):
+        name = b.get("name")
+        mass = float(_find_text(b, "mass", "0"))
+        com = _vec(_find_text(b, "mass_center", "0 0 0"))
+        in6 = _vec(_find_text(b, "inertia", "0 0 0 0 0 0"), 6)
+        if in6.size == 6:
+            I = np.array([[in6[0], in6[3], in6[4]],
+                          [in6[3], in6[1], in6[5]],
+                          [in6[4], in6[5], in6[2]]])
+        else:
+            I = np.diag(in6[:3])
+        body_props[name] = (mass, com, I)
+
+    # ---- joints (define the tree)
+    jointset = model_el.find("JointSet")
+    coord_info = {}  # coord name -> (range, default, clamped)
+    added = set()
+    for j in jointset.find("objects"):
+        jtag = j.tag
+        jname = j.get("name")
+        frames = _parse_frames(j)
+        pf = _find_text(j, "socket_parent_frame")
+        cf = _find_text(j, "socket_child_frame")
+        p_sock, p_t, p_E = frames[pf]
+        c_sock, c_t, c_E = frames[cf]
+        parent_body = _body_of_socket(p_sock)
+        child_body = _body_of_socket(c_sock)
+        mass, com, I = body_props[child_body]
+
+        coords = []
+        cel = j.find("coordinates")
+        if cel is not None:
+            for c in cel.findall("Coordinate"):
+                cname = c.get("name")
+                rng = _vec(_find_text(c, "range", "-10 10"), 2)
+                dv = float(_find_text(c, "default_value", "0"))
+                coord_info[cname] = {"range": (rng[0], rng[1]),
+                                     "default": dv, "joint": jname}
+                coords.append(cname)
+
+        parent = "ground" if parent_body == "ground" else parent_body
+        if jtag == "WeldJoint" or jname in weld_joints:
+            builder.add_body(child_body, mass=mass, com=com, inertia=I,
+                             joint_name=jname, kind="weld", parent=parent,
+                             tree_r=p_t, tree_E=p_E, child_r=c_t, child_E=c_E)
+        elif jtag == "PinJoint":
+            builder.add_body(child_body, mass=mass, com=com, inertia=I,
+                             joint_name=jname, kind="revolute", parent=parent,
+                             axis=(0, 0, 1), tree_r=p_t, tree_E=p_E,
+                             child_r=c_t, child_E=c_E, coord_name=coords[0])
+        elif jtag == "SliderJoint":
+            builder.add_body(child_body, mass=mass, com=com, inertia=I,
+                             joint_name=jname, kind="prismatic", parent=parent,
+                             axis=(1, 0, 0), tree_r=p_t, tree_E=p_E,
+                             child_r=c_t, child_E=c_E, coord_name=coords[0])
+        elif jtag == "PlanarJoint":
+            # Simbody planar mobilizer: q = [theta_z, tx, ty]; decompose as
+            # rz about the joint frame, then tx, ty in the rotated frame.
+            # Chain: parent -(rz)-> i1 -(tx)-> i2 -(ty)-> child.
+            # Simbody planar mobilizer: q = [theta_z, tx, ty], translations
+            # along the PARENT (F) frame axes, rotation about z at the
+            # translated origin => chain tx -> ty -> rz.
+            rz_name, tx_name, ty_name = coords
+            builder.add_body(f"_{jname}_tx", mass=0.0, joint_name=f"{jname}",
+                             kind="prismatic", parent=parent, axis=(1, 0, 0),
+                             tree_r=p_t, tree_E=p_E, coord_name=tx_name,
+                             joint_label=jname)
+            builder.add_body(f"_{jname}_ty", mass=0.0,
+                             joint_name=f"{jname}_ty", kind="prismatic",
+                             parent=f"_{jname}_tx", axis=(0, 1, 0),
+                             coord_name=ty_name, joint_label=jname)
+            builder.add_body(child_body, mass=mass, com=com, inertia=I,
+                             joint_name=f"{jname}_rz", kind="revolute",
+                             parent=f"_{jname}_ty", axis=(0, 0, 1),
+                             child_r=c_t, child_E=c_E, coord_name=rz_name,
+                             joint_label=jname)
+        else:
+            raise NotImplementedError(f"joint type {jtag}")
+        added.add(child_body)
+
+    mech = builder.finalize()
+    model = Model(mech)
+    body_idx = {b.name: i for i, b in enumerate(mech.bodies)}
+    body_idx["ground"] = GROUND
+
+    def coord_index(cname):
+        return mech.coord_names.index(cname)
+
+    # ---- forces
+    forceset = model_el.find("ForceSet")
+    contact_geo = {}
+    cgs = model_el.find("ContactGeometrySet")
+    if cgs is not None:
+        for cg in cgs.find("objects"):
+            name = cg.get("name")
+            frame = _body_of_socket(_find_text(cg, "socket_frame", "/ground"))
+            loc = _vec(_find_text(cg, "location", "0 0 0"))
+            radius = float(_find_text(cg, "radius", "0"))
+            contact_geo[name] = {"type": cg.tag, "body": frame,
+                                 "location": loc, "radius": radius}
+
+    # forces live either in ForceSet/objects or in the model's free
+    # <components> list (2D_gait.osim uses the latter)
+    force_els = []
+    if forceset is not None and forceset.find("objects") is not None:
+        force_els += list(forceset.find("objects"))
+    comps = model_el.find("components")
+    if comps is not None:
+        force_els += list(comps)
+
+    muscle_names = []
+    if True:
+        for f in force_els:
+            tag = f.tag
+            name = f.get("name")
+            if tag == "DeGrooteFregly2016Muscle" or tag == \
+                    "Millard2012EquilibriumMuscle" or tag == "Thelen2003Muscle":
+                params = dgf.default_muscle_params(
+                    max_isometric_force=float(
+                        _find_text(f, "max_isometric_force", "1000")),
+                    optimal_fiber_length=float(
+                        _find_text(f, "optimal_fiber_length", "0.1")),
+                    tendon_slack_length=float(
+                        _find_text(f, "tendon_slack_length", "0.2")),
+                    pennation_angle_at_optimal=float(
+                        _find_text(f, "pennation_angle_at_optimal", "0")),
+                    max_contraction_velocity=float(
+                        _find_text(f, "max_contraction_velocity", "10")),
+                    activation_time_constant=float(
+                        _find_text(f, "activation_time_constant", "0.015")),
+                    deactivation_time_constant=float(
+                        _find_text(f, "deactivation_time_constant", "0.06")),
+                    active_force_width_scale=float(
+                        _find_text(f, "active_force_width_scale", "1")),
+                    fiber_damping=float(_find_text(f, "fiber_damping", "0")),
+                    passive_fiber_strain_at_one_norm_force=float(_find_text(
+                        f, "passive_fiber_strain_at_one_norm_force", "0.6")),
+                    tendon_strain_at_one_norm_force=float(_find_text(
+                        f, "tendon_strain_at_one_norm_force", "0.049")),
+                )
+                ignore_act = _find_text(f, "ignore_activation_dynamics",
+                                        "false") == "true"
+                ignore_ten = _find_text(f, "ignore_tendon_compliance",
+                                        "false") == "true"
+                # path points
+                gp = f.find("GeometryPath")
+                pps = gp.find("PathPointSet").find("objects")
+                path = []
+                for pp in pps:
+                    ptag = pp.tag
+                    pbody = _body_of_socket(
+                        _find_text(pp, "socket_parent_frame", "/ground"))
+                    bi = body_idx[pbody]
+                    if ptag == "PathPoint":
+                        loc = _vec(_find_text(pp, "location", "0 0 0"))
+                        path.append(("fixed", bi, tuple(loc)))
+                    elif ptag == "ConditionalPathPoint":
+                        loc = _vec(_find_text(pp, "location", "0 0 0"))
+                        rng = _vec(_find_text(pp, "range", "-10 10"), 2)
+                        csock = _find_text(pp, "socket_coordinate")
+                        ci = coord_index(_body_of_socket(csock))
+                        path.append(("conditional", bi, tuple(loc), ci,
+                                     rng[0], rng[1]))
+                    elif ptag == "MovingPathPoint":
+                        default_loc = _vec(_find_text(pp, "location",
+                                                      "0 0 0"))
+                        fns = []
+                        for k, ax in enumerate(("x", "y", "z")):
+                            fel = pp.find(f"{ax}_location")
+                            fn = _parse_function(list(fel)[0]) \
+                                if fel is not None and len(fel) else None
+                            csock = _find_text(pp, f"socket_{ax}_coordinate")
+                            ci = coord_index(_body_of_socket(csock)) \
+                                if csock else None
+                            if fn is None or ci is None:
+                                # constant component from the default location
+                                fn = (lambda v, c=float(default_loc[k]):
+                                      c + 0.0 * v)
+                                ci = 0
+                            fns.append((fn, ci))
+                        path.append(("moving", bi, tuple(fns)))
+                    else:
+                        raise NotImplementedError(f"path point {ptag}")
+                model.add_muscle(name, path=path, params=params,
+                                 ignore_activation_dynamics=ignore_act,
+                                 ignore_tendon_compliance=ignore_ten)
+                muscle_names.append(name)
+            elif tag == "CoordinateActuator":
+                cname = _find_text(f, "coordinate")
+                gain = float(_find_text(f, "optimal_force", "1"))
+                mn = float(_find_text(f, "min_control", "-inf"))
+                mx = float(_find_text(f, "max_control", "inf"))
+                model.add_coordinate_actuator(name, coord_index(cname),
+                                              optimal_force=gain,
+                                              min_control=mn, max_control=mx)
+            elif tag == "SmoothSphereHalfSpaceForce":
+                sph = contact_geo[_body_of_socket(
+                    _find_text(f, "socket_sphere"))]
+                model.add_sphere_contact(
+                    name, body=body_idx[sph["body"]],
+                    location=tuple(sph["location"]), radius=sph["radius"],
+                    stiffness=float(_find_text(f, "stiffness", "1e6")),
+                    dissipation=float(_find_text(f, "dissipation", "2")),
+                    static_friction=float(
+                        _find_text(f, "static_friction", "0.8")),
+                    dynamic_friction=float(
+                        _find_text(f, "dynamic_friction", "0.8")),
+                    viscous_friction=float(
+                        _find_text(f, "viscous_friction", "0.5")),
+                    transition_velocity=float(
+                        _find_text(f, "transition_velocity", "0.2")),
+                    constant_contact_force=float(
+                        _find_text(f, "constant_contact_force", "1e-5")),
+                    hertz_smoothing=float(
+                        _find_text(f, "hertz_smoothing", "300")),
+                    hunt_crossley_smoothing=float(
+                        _find_text(f, "hunt_crossley_smoothing", "50")),
+                    derivative_smoothing=float(
+                        _find_text(f, "derivative_smoothing", "1e-5")))
+
+    # ---- constraints (CoordinateCouplerConstraint)
+    conset = model_el.find("ConstraintSet")
+    if conset is not None:
+        for c in conset.find("objects"):
+            if c.tag != "CoordinateCouplerConstraint":
+                continue
+            dep = _find_text(c, "dependent_coordinate_name")
+            ind_el = c.find("independent_coordinate_names")
+            ind = ind_el.text.strip().split() if ind_el is not None else []
+            fel = c.find("coupled_coordinates_function")
+            fn = _parse_function(list(fel)[0]) if fel is not None else None
+            di = coord_index(dep)
+            ii = coord_index(ind[0])
+
+            def make_phi(di=di, ii=ii, fn=fn):
+                import jax.numpy as jnp
+
+                def phi(mp, q):
+                    return jnp.atleast_1d(q[di] - fn(q[ii]))
+
+                return phi
+
+            model.add_kinematic_constraint(c.get("name"), make_phi())
+
+    info = {"coord_info": coord_info, "muscles": muscle_names,
+            "body_idx": body_idx}
+    return model, info
