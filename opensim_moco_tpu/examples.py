@@ -11,7 +11,10 @@ import numpy as np
 from .models import MechModelBuilder
 from .models import muscle as dgf
 from .models.model import Model
-from .ocp import ControlGoal, FinalTimeGoal, MarkerFinalGoal, Problem, Study
+from .ocp import (ControlGoal, FinalTimeGoal, MarkerFinalGoal,
+                  PeriodicityGoal, Problem, Study)
+
+REF_2DWALK = "/root/reference/Moco/Examples/C++/example2DWalking"
 
 
 def sliding_mass_study(num_mesh_intervals=50, scheme="trapezoidal"):
@@ -154,3 +157,81 @@ def hanging_muscle_study(num_mesh_intervals=25,
                              multibody_dynamics_mode=multibody_dynamics_mode)
     study.set_ipm_options(tol=1e-4)
     return study
+
+
+def gait2d_tracking_study(num_mesh_intervals=50, state_tracking_weight=10.0,
+                          control_effort_weight=10.0, tol=1e-4,
+                          max_iterations=1000):
+    """example2DWalking MocoTrack (reference
+    Moco/Examples/C++/example2DWalking/example2DWalking.cpp:55-185
+    gaitTracking): 10-DOF, 18-muscle gait tracking over half a gait cycle
+    with contact spheres and half-cycle symmetry (periodicity) constraints.
+    GRF tracking (GRFTrackingWeight) is not yet wired in.
+
+    Returns (study, guess)."""
+    import jax.numpy as jnp
+
+    from .tools.track import Track
+    from .utils.osim import parse_osim
+    from .utils.tables import read_sto
+
+    model, info = parse_osim(f"{REF_2DWALK}/2D_gait.osim")
+    model.finalize()
+
+    ref = read_sto(f"{REF_2DWALK}/referenceCoordinates.sto")
+    track = Track(model=model, states_reference=ref,
+                  states_global_weight=state_tracking_weight,
+                  control_effort_weight=control_effort_weight,
+                  track_reference_position_derivatives=True,
+                  initial_time=0.0, final_time=0.47008941,
+                  mesh_interval=0.47008941 / num_mesh_intervals,
+                  convergence_tolerance=tol, lowpass_cutoff=6.0,
+                  max_iterations=max_iterations)
+    study = track.build_study()
+    prob = study.problem
+
+    # half-cycle symmetry (example2DWalking.cpp:84-131)
+    state_pairs = []
+    cpaths = model.coordinate_paths()
+    for c in cpaths:
+        cname = c.split("/")[-1]
+        for suffix in ("/value", "/speed"):
+            if cname.endswith("_r"):
+                state_pairs.append((c + suffix,
+                                    c.replace("_r", "_l") + suffix, False))
+            elif cname.endswith("_l"):
+                state_pairs.append((c + suffix,
+                                    c.replace("_l", "_r") + suffix, False))
+            elif not cname.endswith("_tx"):
+                state_pairs.append((c + suffix, c + suffix, False))
+    state_pairs.append(("/jointset/groundPelvis/pelvis_tx/speed",
+                        "/jointset/groundPelvis/pelvis_tx/speed", False))
+    for m in model.muscles:
+        a = f"/forceset/{m.name}/activation"
+        if m.name.endswith("_r"):
+            state_pairs.append((a, a.replace("_r", "_l"), False))
+        elif m.name.endswith("_l"):
+            state_pairs.append((a, a.replace("_l", "_r"), False))
+    goal = PeriodicityGoal(name="symmetry", state_pairs=tuple(state_pairs),
+                           control_pairs=(("/forceset/lumbarAct",
+                                           "/forceset/lumbarAct", False),))
+    prob.add_goal(goal)
+
+    # bounds (example2DWalking.cpp:154-170)
+    d = np.pi / 180
+    prob.set_state_info("/jointset/groundPelvis/pelvis_tilt/value",
+                        (-20 * d, -10 * d))
+    prob.set_state_info("/jointset/groundPelvis/pelvis_tx/value", (0, 1))
+    prob.set_state_info("/jointset/groundPelvis/pelvis_ty/value",
+                        (0.75, 1.25))
+    for s in ("l", "r"):
+        prob.set_state_info(f"/jointset/hip_{s}/hip_flexion_{s}/value",
+                            (-10 * d, 60 * d))
+        prob.set_state_info(f"/jointset/knee_{s}/knee_angle_{s}/value",
+                            (-50 * d, 0))
+        prob.set_state_info(f"/jointset/ankle_{s}/ankle_angle_{s}/value",
+                            (-15 * d, 25 * d))
+    prob.set_state_info("/jointset/lumbar/lumbar/value", (0, 20 * d))
+
+    guess = track.make_guess(study)
+    return study, guess

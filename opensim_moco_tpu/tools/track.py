@@ -57,6 +57,28 @@ class Track:
                                                   times)
         return times, data
 
+    apply_tracked_states_to_guess: bool = True
+
+    def make_guess(self, study: Study):
+        """Bounds-midpoint guess with the tracked states splatted in
+        (MocoTrack apply_tracked_states_to_guess, MocoTrack.cpp:117-131)."""
+        import numpy as np
+        tr = study.transcription()
+        z = np.array(tr.initial_guess())
+        if not self.apply_tracked_states_to_guess:
+            return z
+        times, data = self._reference_dict()
+        t0, tf = z[0], z[1]
+        ts = t0 + (tf - t0) * np.asarray(tr.taus)
+        o = tr.offsets["states"]
+        Y = z[o[0]:o[1]].reshape(tr.G, tr.ny)
+        for name, vals in data.items():
+            if name in tr.rep.state_names:
+                i = tr.rep.state_names.index(name)
+                Y[:, i] = np.interp(ts, times, np.asarray(vals))
+        z[o[0]:o[1]] = Y.ravel()
+        return z
+
     def build_study(self) -> Study:
         times, data = self._reference_dict()
         t0 = self.initial_time if self.initial_time is not None else times[0]
@@ -86,4 +108,6 @@ class Track:
         return study
 
     def solve(self):
-        return self.build_study().solve()
+        study = self.build_study()
+        import jax.numpy as jnp
+        return study.solve(guess=jnp.asarray(self.make_guess(study)))
