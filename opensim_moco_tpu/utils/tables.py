@@ -18,6 +18,40 @@ from typing import Sequence
 import numpy as np
 
 
+def _read_sto_native(path):
+    """C++ fast path; returns None if the native library is unavailable or
+    the file does not parse cleanly."""
+    import ctypes
+
+    from ..native import get_tableio
+
+    lib = get_tableio()
+    if lib is None:
+        return None
+    h = lib.tableio_parse(str(path).encode())
+    try:
+        err = lib.tableio_error(h).decode()
+        if err:
+            return None
+        nrows = lib.tableio_nrows(h)
+        ncols = lib.tableio_ncols(h)
+        data = np.empty((nrows, ncols), dtype=np.float64)
+        if nrows:
+            lib.tableio_copy_data(
+                h, data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        names = [lib.tableio_column_name(h, i).decode()
+                 for i in range(ncols)]
+        meta = {}
+        for i in range(lib.tableio_nmeta(h)):
+            k = lib.tableio_meta_key(h, i).decode()
+            meta.setdefault(k, lib.tableio_meta_value(h, i).decode())
+        return StoTable(data[:, 0] if nrows else np.zeros(0), names[1:],
+                        data[:, 1:] if nrows else np.zeros((0, ncols - 1)),
+                        meta)
+    finally:
+        lib.tableio_free(h)
+
+
 class StoTable:
     """Column table with string metadata (TimeSeriesTable analogue)."""
 
@@ -37,8 +71,14 @@ class StoTable:
 
 def read_sto(path_or_buf) -> StoTable:
     """Parse a .sto/.mot file (header keys until 'endheader', then a
-    tab/space separated table whose first column is time)."""
+    tab/space separated table whose first column is time).
+
+    Uses the native C++ parser (opensim_moco_tpu/native/tableio.cpp) when
+    available; falls back to pure Python."""
     if isinstance(path_or_buf, (str, bytes)):
+        native = _read_sto_native(path_or_buf)
+        if native is not None:
+            return native
         with open(path_or_buf, "r") as fh:
             text = fh.read()
     else:
