@@ -42,7 +42,7 @@ def main():
     solve = make_solver(nlp, opts, scale_z0=z0)
     batched = jax.jit(jax.vmap(solve))
 
-    B = 64
+    B = 32
     Z0 = batch_guesses(tr, B, scale=0.05, seed=0).astype(jnp.float32)
 
     # compile + warmup (single summary readback: d2h is seconds-expensive
