@@ -1,0 +1,73 @@
+"""Command-line interface.
+
+Analogue of the reference executable (reference
+Moco/Executable/opensim-moco.cpp:38-90: `run`, `print-xml`, `visualize`).
+Study configurations are JSON documents (the .omoco XML role).
+
+Usage:
+    python -m opensim_moco_tpu run <study.json>
+    python -m opensim_moco_tpu print-config <example-name>
+    python -m opensim_moco_tpu run-example <example-name> [--out solution.sto]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+EXAMPLES = ("sliding_mass", "kirk_min_effort", "double_pendulum_swingup",
+            "hanging_muscle", "gait2d_tracking")
+
+
+def _get_example(name, **kwargs):
+    from . import examples as ex
+    fn = getattr(ex, f"{name}_study")
+    out = fn(**kwargs)
+    return out if isinstance(out, tuple) else (out, None)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="opensim-moco-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run-example",
+                          help="solve a built-in example study")
+    runp.add_argument("name", choices=EXAMPLES)
+    runp.add_argument("--out", default=None, help="solution .sto path")
+    runp.add_argument("--mesh-intervals", type=int, default=None)
+
+    cfg = sub.add_parser("print-config",
+                         help="print an example's solver configuration")
+    cfg.add_argument("name", choices=EXAMPLES)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "print-config":
+        study, _ = _get_example(args.name)
+        import dataclasses
+        print(json.dumps({
+            "solver_options": dataclasses.asdict(study.solver_options),
+            "ipm_options": dataclasses.asdict(study.ipm_options),
+        }, indent=2, default=str))
+        return 0
+
+    if args.cmd == "run-example":
+        kwargs = {}
+        if args.mesh_intervals:
+            kwargs["num_mesh_intervals"] = args.mesh_intervals
+        study, guess = _get_example(args.name, **kwargs)
+        sol = study.solve(guess=guess)
+        print(f"success={sol.success} objective={sol.objective:.6f} "
+              f"iterations={sol.num_iterations} "
+              f"duration={sol.solver_duration:.2f}s")
+        if args.out:
+            from .utils.tables import trajectory_to_sto
+            trajectory_to_sto(sol.unseal(), args.out)
+            print(f"wrote {args.out}")
+        return 0 if sol.success else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

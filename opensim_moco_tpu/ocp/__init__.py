@@ -1,6 +1,12 @@
-from .goals import (AverageSpeedGoal, ControlGoal, CustomGoal, FinalTimeGoal,
-                    Goal, InitialActivationGoal, MarkerFinalGoal,
-                    PeriodicityGoal, StateTrackingGoal, SumSquaredStateGoal)
+from .goals import (AngularVelocityTrackingGoal, AverageSpeedGoal,
+                    ControlGoal, ControlTrackingGoal, CustomGoal,
+                    FinalTimeGoal, Goal, InitialActivationGoal,
+                    InitialForceEquilibriumGoal, MarkerFinalGoal,
+                    MarkerTrackingGoal, OrientationTrackingGoal, OutputGoal,
+                    PeriodicityGoal, StateTrackingGoal, SumSquaredStateGoal,
+                    TranslationTrackingGoal)
+from .path_constraints import (control_bound_constraint,
+                               frame_distance_constraint)
 from .problem import (ParameterSpec, PathConstraintSpec, Problem, ProblemRep,
                       VariableInfo)
 from .study import Study
@@ -9,6 +15,10 @@ __all__ = [
     "Goal", "ControlGoal", "FinalTimeGoal", "StateTrackingGoal",
     "SumSquaredStateGoal", "MarkerFinalGoal", "PeriodicityGoal",
     "InitialActivationGoal", "AverageSpeedGoal", "CustomGoal",
+    "MarkerTrackingGoal", "ControlTrackingGoal", "TranslationTrackingGoal",
+    "OrientationTrackingGoal", "AngularVelocityTrackingGoal", "OutputGoal",
+    "InitialForceEquilibriumGoal",
+    "control_bound_constraint", "frame_distance_constraint",
     "Problem", "ProblemRep", "VariableInfo", "PathConstraintSpec",
     "ParameterSpec", "Study",
 ]

@@ -244,3 +244,186 @@ class CustomGoal(Goal):
                 val = val / (final[0] - initial[0])
             return val
         return self.value_fn(rep, initial, final, integral, p)
+
+
+@dataclasses.dataclass
+class MarkerTrackingGoal(Goal):
+    """Squared error of model station positions vs reference marker
+    trajectories (reference MocoMarkerTrackingGoal). ``markers`` maps
+    marker name -> (body, location); ``reference`` maps marker name ->
+    (times (K,), positions (K, 3)); weights per marker."""
+    name: str = "marker_tracking"
+    markers: dict = dataclasses.field(default_factory=dict)
+    reference: dict = dataclasses.field(default_factory=dict)
+    marker_weights: dict = dataclasses.field(default_factory=dict)
+
+    def integrand(self, rep, t, y, x, lam, p):
+        m = rep.model
+        q = y[:m.nq]
+        total = jnp.zeros((), dtype=t.dtype)
+        for name, (body, loc) in self.markers.items():
+            times, pos = self.reference[name]
+            w = self.marker_weights.get(name, 1.0)
+            model_pos = m.mech.station_position(
+                p["mech"], q, body, jnp.asarray(loc, dtype=t.dtype))
+            times = jnp.asarray(times, dtype=t.dtype)
+            ref = jnp.stack([jnp.interp(t, times,
+                                        jnp.asarray(pos[:, k], dtype=t.dtype))
+                             for k in range(3)])
+            total = total + w * jnp.sum((model_pos - ref) ** 2)
+        return total
+
+
+@dataclasses.dataclass
+class ControlTrackingGoal(Goal):
+    """Track control signals vs reference (reference
+    MocoControlTrackingGoal.h:1-251). ``reference`` maps control name ->
+    (times, values)."""
+    name: str = "control_tracking"
+    reference: dict = dataclasses.field(default_factory=dict)
+    control_weights: dict = dataclasses.field(default_factory=dict)
+
+    def integrand(self, rep, t, y, x, lam, p):
+        total = jnp.zeros((), dtype=t.dtype)
+        for name, (times, values) in self.reference.items():
+            i = rep.control_names.index(name)
+            w = self.control_weights.get(name, 1.0)
+            ref = jnp.interp(t, jnp.asarray(times, dtype=t.dtype),
+                             jnp.asarray(values, dtype=t.dtype))
+            total = total + w * (x[i] - ref) ** 2
+        return total
+
+
+@dataclasses.dataclass
+class TranslationTrackingGoal(Goal):
+    """Track body-origin world positions (reference
+    MocoTranslationTrackingGoal). ``reference``: body index ->
+    (times, positions (K, 3))."""
+    name: str = "translation_tracking"
+    reference: dict = dataclasses.field(default_factory=dict)
+
+    def integrand(self, rep, t, y, x, lam, p):
+        m = rep.model
+        q = y[:m.nq]
+        frames = m.mech.frames(p["mech"], q)
+        total = jnp.zeros((), dtype=t.dtype)
+        for body, (times, pos) in self.reference.items():
+            A, o = frames[body]
+            times = jnp.asarray(times, dtype=t.dtype)
+            ref = jnp.stack([jnp.interp(t, times,
+                                        jnp.asarray(pos[:, k], dtype=t.dtype))
+                             for k in range(3)])
+            total = total + jnp.sum((o - ref) ** 2)
+        return total
+
+
+@dataclasses.dataclass
+class OrientationTrackingGoal(Goal):
+    """Track body orientations as rotation-matrix Frobenius error
+    (reference MocoOrientationTrackingGoal uses quaternion distance; the
+    Frobenius form is an equivalent smooth metric). ``reference``: body ->
+    (times, rotmats (K, 3, 3) world->body)."""
+    name: str = "orientation_tracking"
+    reference: dict = dataclasses.field(default_factory=dict)
+
+    def integrand(self, rep, t, y, x, lam, p):
+        m = rep.model
+        q = y[:m.nq]
+        frames = m.mech.frames(p["mech"], q)
+        total = jnp.zeros((), dtype=t.dtype)
+        for body, (times, mats) in self.reference.items():
+            A, o = frames[body]
+            times = jnp.asarray(times, dtype=t.dtype)
+            ref = jnp.stack([
+                jnp.stack([jnp.interp(t, times,
+                                      jnp.asarray(mats[:, r, c],
+                                                  dtype=t.dtype))
+                           for c in range(3)])
+                for r in range(3)])
+            total = total + jnp.sum((A - ref) ** 2)
+        return total
+
+
+@dataclasses.dataclass
+class AngularVelocityTrackingGoal(Goal):
+    """Track body angular velocities in world (reference
+    MocoAngularVelocityTrackingGoal). ``reference``: body ->
+    (times, omegas (K, 3))."""
+    name: str = "angular_velocity_tracking"
+    reference: dict = dataclasses.field(default_factory=dict)
+
+    def integrand(self, rep, t, y, x, lam, p):
+        import jax
+
+        m = rep.model
+        q = y[:m.nq]
+        u = y[m.nq:2 * m.nq]
+        total = jnp.zeros((), dtype=t.dtype)
+        for body, (times, omegas) in self.reference.items():
+            # world angular velocity from dA/dt = -skew(omega_body) A ...
+            # use jvp of the rotation: Adot = dA/dq * u; omega_world skew =
+            # A^T Adot gives body-frame; map to world with A^T
+            def rot(qq, b=body):
+                return m.mech.frames(p["mech"], qq)[b][0]
+
+            A, Adot = jax.jvp(rot, (q,), (u,))
+            W = Adot @ A.T  # = -skew(omega in frame coords)
+            omega_frame = jnp.stack([W[2, 1], W[0, 2], W[1, 0]])
+            omega_world = A.T @ (-omega_frame)
+            times = jnp.asarray(times, dtype=t.dtype)
+            ref = jnp.stack([jnp.interp(t, times,
+                                        jnp.asarray(omegas[:, k],
+                                                    dtype=t.dtype))
+                             for k in range(3)])
+            total = total + jnp.sum((omega_world - ref) ** 2)
+        return total
+
+
+@dataclasses.dataclass
+class OutputGoal(Goal):
+    """Minimize an arbitrary model output by closure (reference
+    MocoOutputGoal.h: minimize any model output by path)."""
+    name: str = "output"
+    output_fn: Callable | None = None  # (rep, t, y, x, lam, p) -> scalar
+    exponent: int = 1
+
+    def integrand(self, rep, t, y, x, lam, p):
+        v = self.output_fn(rep, t, y, x, lam, p)
+        return v ** self.exponent if self.exponent != 1 else v
+
+
+@dataclasses.dataclass
+class InitialForceEquilibriumGoal(Goal):
+    """Muscle-tendon force equilibrium at the initial time for
+    compliant-tendon muscles (reference MocoInitialForceEquilibriumGoal),
+    usable in cost or endpoint-constraint mode."""
+    name: str = "initial_force_equilibrium"
+
+    def __post_init__(self):
+        self.num_outputs = 1  # resolved at evaluation
+
+    def _residuals(self, rep, initial, p):
+        from ..models import muscle as dgf
+
+        m = rep.model
+        t0, y0, x0 = initial[0], initial[1], initial[2]
+        q, u, z = m.split_state(y0)
+        lMT, vMT = m.muscle_path_kinematics(p, q, u)
+        res = []
+        for mi, mspec in enumerate(m.muscles):
+            if mspec.ignore_tendon_compliance:
+                continue
+            mp = {k: v[mi] for k, v in p["muscles"].items()}
+            act, ft = m.muscle_state(z, x0, mi)
+            r = dgf.implicit_tendon_residual(mp, act, ft, 0.0, lMT[mi],
+                                             vMT[mi],
+                                             mspec.ignore_passive_fiber_force)
+            res.append(r / mp["max_isometric_force"])
+        return jnp.stack(res) if res else jnp.zeros(0, dtype=y0.dtype)
+
+    def values(self, rep, initial, final, p):
+        return self._residuals(rep, initial, p)
+
+    def value(self, rep, initial, final, integral, p):
+        r = self._residuals(rep, initial, p)
+        return jnp.sum(r * r)

@@ -130,3 +130,38 @@ class Solution(Trajectory):
     def control(self, name):
         self._check()
         return super().control(name)
+
+
+def create_periodic_trajectory(traj: Trajectory, coord_paths_lr=None):
+    """Mirror a half-gait-cycle solution into a full cycle
+    (reference createPeriodicTrajectory, MocoUtilities.cpp:654: the second
+    half swaps _r/_l columns, negates listed anti-symmetric columns, and
+    offsets pelvis_tx)."""
+    t = traj.time
+    t2 = np.concatenate([t, t[1:] + (t[-1] - t[0])])
+
+    def mirror(names, data):
+        if data is None or data.size == 0:
+            return data
+        sw = []
+        for n in names:
+            if "_r" in n:
+                m = n.replace("_r", "_l")
+            elif "_l" in n:
+                m = n.replace("_l", "_r")
+            else:
+                m = n
+            sw.append(names.index(m) if m in names else names.index(n))
+        second = data[1:, sw].copy()
+        # pelvis_tx continues forward
+        for j, n in enumerate(names):
+            if n.endswith("pelvis_tx/value"):
+                second[:, j] += data[-1, j] - data[0, j]
+        return np.concatenate([data, second], axis=0)
+
+    return dataclasses.replace(
+        traj, time=t2,
+        states=mirror(traj.state_names, traj.states),
+        controls=mirror(traj.control_names, traj.controls),
+        multipliers=mirror(traj.multiplier_names, traj.multipliers),
+        derivatives=mirror(traj.derivative_names, traj.derivatives))
