@@ -61,6 +61,12 @@ class IPMOptions:
     # factor * tol of the KKT conditions; the best iterate seen is returned
     acceptable_tol_factor: float = 100.0  # IPOPT: acceptable_tol/tol = 100
     acceptable_iter: int = 15
+    # "exact": Lagrangian Hessian via forward-over-reverse autodiff.
+    # "objective-only": drop constraint curvature (Gauss-Newton-flavored;
+    # the reference runs IPOPT with limited-memory BFGS by default,
+    # MocoDirectCollocationSolver.h:121, so it never sees exact curvature
+    # either) — much cheaper to compile/evaluate on large models.
+    hessian_approximation: str = "exact"
     # filter parameters (IPOPT defaults, Waechter-Biegler 2006 Table 1)
     gamma_theta: float = 1e-5
     gamma_phi: float = 1e-5
@@ -174,7 +180,11 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
     def lagrangian(z, nu):
         return f_fn(z) + (c_fn(z) @ nu if nlp.m else 0.0)
 
-    hess_L = jax.jacfwd(jax.grad(lagrangian, argnums=0), argnums=0)
+    if opt.hessian_approximation == "objective-only":
+        hess_f = jax.jacfwd(jax.grad(f_fn))
+        hess_L = lambda z, nu: hess_f(z)
+    else:
+        hess_L = jax.jacfwd(jax.grad(lagrangian, argnums=0), argnums=0)
 
     n, m = nlp.n, nlp.m
     lb = np.asarray(nlp.lb, dtype=np.float64)
