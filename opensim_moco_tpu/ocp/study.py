@@ -46,20 +46,65 @@ class Study:
 
     def create_guess(self, kind="bounds"):
         """Flat initial iterate (reference createGuess("bounds"),
-        MocoCasADiSolver.cpp:51-73)."""
+        MocoCasADiSolver.cpp:51-73); also accepts a Trajectory via
+        :meth:`create_guess_from_trajectory`."""
         tr = self.transcription()
         if kind != "bounds":
             raise NotImplementedError(kind)
         return tr.initial_guess()
 
-    def solve(self, guess=None) -> Solution:
+    def create_guess_from_file(self, path):
+        """Warm start from any written solution/trajectory .sto (reference
+        guess_file, MocoDirectCollocationSolver.h:164)."""
+        from ..utils.tables import sto_to_trajectory
+        tr = self.transcription()
+        return tr.guess_from_trajectory(sto_to_trajectory(path).unseal())
+
+    def solve(self, guess=None, checkpoint_interval=None,
+              checkpoint_path=None, interrupt_file=None) -> Solution:
+        """Solve the study.
+
+        ``checkpoint_interval``: dump the current iterate to
+        ``checkpoint_path`` (.sto) every K interior-point iterations
+        (reference output_interval, MocoCasADiSolver.h:138).
+        ``interrupt_file``: abort cleanly as soon as this file disappears
+        (reference FileDeletionThrower, MocoUtilities.h:717-756)."""
+        import os
+
+        from ..solver.ipm import make_chunked_solver
+
         tr = self.transcription()
         rep = tr.rep
         nlp = tr.make_nlp()
         z0 = tr.initial_guess() if guess is None else guess
-        solve_fn = jax.jit(make_solver(nlp, self.ipm_options, scale_z0=z0))
         start = _time.perf_counter()
-        res = solve_fn(jnp.asarray(z0))
+        if checkpoint_interval or interrupt_file:
+            init_fn, run_chunk, finalize_fn = make_chunked_solver(
+                nlp, self.ipm_options, scale_z0=z0)
+            carry = init_fn(jnp.asarray(z0))
+            chunk = int(checkpoint_interval or 25)
+            limit = chunk
+            while True:
+                carry = run_chunk(carry, limit)
+                res = finalize_fn(carry)
+                it_h, conv_h = jax.device_get((res.iterations,
+                                               res.converged))
+                if checkpoint_path:
+                    snap = self._expand(tr, rep, res, start)
+                    from ..utils.tables import trajectory_to_sto
+                    trajectory_to_sto(snap.unseal(), checkpoint_path)
+                if bool(conv_h) or int(it_h) >= self.ipm_options.max_iter:
+                    break
+                if interrupt_file and not os.path.exists(interrupt_file):
+                    break
+                limit = int(it_h) + chunk
+        else:
+            solve_fn = jax.jit(make_solver(nlp, self.ipm_options,
+                                           scale_z0=z0))
+            res = solve_fn(jnp.asarray(z0))
+        return self._expand(tr, rep, res, start)
+
+    def _expand(self, tr, rep, res, start) -> Solution:
         # ONE device round-trip for everything (d2h is seconds-expensive on
         # tunneled TPU runtimes)
         z_h, nu_h, f_h, kkt_h, it_h, conv_h = jax.device_get(

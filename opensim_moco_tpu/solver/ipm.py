@@ -586,6 +586,30 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
     return init_fn, body_fn, cond_fn, finalize_fn
 
 
+def make_chunked_solver(nlp: NLP, options: IPMOptions = IPMOptions(),
+                        scale_z0=None):
+    """Like :func:`make_solver` but returns (init, run_chunk, finalize)
+    where ``run_chunk(carry, iter_limit)`` advances the solve until
+    convergence or ``carry.it >= iter_limit``.
+
+    This powers periodic iterate dumps and graceful interruption — the
+    reference's ``output_interval`` trajectory snapshots
+    (MocoCasADiSolver.h:138) and FileDeletionThrower abort hook
+    (MocoUtilities.h:717-756) — without host callbacks inside the XLA
+    program."""
+    init_fn, body_fn, cond_fn, finalize_fn = make_kernel(nlp, options,
+                                                         scale_z0=scale_z0)
+
+    @jax.jit
+    def run_chunk(carry, iter_limit):
+        def cond(c):
+            return (~c.converged) & (c.it < iter_limit)
+
+        return jax.lax.while_loop(cond, body_fn, carry)
+
+    return init_fn, run_chunk, finalize_fn
+
+
 def make_solver(nlp: NLP, options: IPMOptions = IPMOptions(),
                 scale_z0=None) -> Callable:
     """Build a pure solve function ``z0 -> IPMResult`` for a fixed NLP.

@@ -492,6 +492,33 @@ class Transcription:
                    constraints=cfn, lb=lb, ub=ub)
 
     # --------------------------------------------------------------- guess
+    def guess_from_trajectory(self, traj, dtype=None):
+        """Flat iterate from a Trajectory/Solution (the reference's
+        guess_file warm start, MocoDirectCollocationSolver.h:164; resampled
+        onto this transcription's grid like Iterate::resample)."""
+        z = np.array(self.initial_guess(dtype=dtype))
+        t0 = traj.initial_time
+        tf = traj.final_time
+        z[0], z[1] = t0, tf
+        ts = t0 + (tf - t0) * np.asarray(self.taus)
+        res = traj.resample(ts)
+        o = self.offsets
+        Y = z[o["states"][0]:o["states"][1]].reshape(self.G, self.ny)
+        for i, n in enumerate(self.rep.state_names):
+            if n in res.state_names:
+                Y[:, i] = res.state(n)
+        z[o["states"][0]:o["states"][1]] = Y.ravel()
+        X = z[o["controls"][0]:o["controls"][1]].reshape(self.G, self.nx)
+        for i, n in enumerate(self.rep.control_names):
+            if n in res.control_names:
+                X[:, i] = res.control(n)
+        z[o["controls"][0]:o["controls"][1]] = X.ravel()
+        if self.nlam and res.multipliers is not None and \
+                res.multipliers.shape[1] == self.nlam:
+            z[o["multipliers"][0]:o["multipliers"][1]] = \
+                res.multipliers.ravel()
+        return z
+
     def initial_guess(self, dtype=None):
         """Bounds-midpoint guess (reference default,
         CasOCTranscription.cpp:1123-1150): midpoint where both bounds are
