@@ -272,6 +272,35 @@ class Model:
             m.name for m in self.muscles
             if (not m.ignore_tendon_compliance) and m.tendon_dynamics_implicit]
         self.n_implicit_aux = len(self._implicit_aux)
+        # ---- static index arrays for vectorized muscle evaluation
+        nm = len(self.muscles)
+        aux_pos = {(mn, kind): k for k, (mn, kind) in
+                   enumerate(self._aux_index)}
+        self._mv = {
+            "act_from_z": np.zeros(nm, bool),
+            "act_zidx": np.zeros(nm, np.int32),
+            "exc_xidx": np.asarray(
+                [len(self.actuators) + i for i in range(nm)], np.int32),
+            "ft_zidx": np.zeros(nm, np.int32),
+            "rigid": np.zeros(nm, bool),
+            "implicit": np.zeros(nm, bool),
+            "nopass": np.zeros(nm, bool),
+            "imp_didx": np.zeros(nm, np.int32),
+        }
+        for i, ms in enumerate(self.muscles):
+            if not ms.ignore_activation_dynamics:
+                self._mv["act_from_z"][i] = True
+                self._mv["act_zidx"][i] = aux_pos[(ms.name, "activation")]
+            if ms.ignore_tendon_compliance:
+                self._mv["rigid"][i] = True
+            else:
+                self._mv["ft_zidx"][i] = aux_pos[
+                    (ms.name, "normalized_tendon_force")]
+                if ms.tendon_dynamics_implicit:
+                    self._mv["implicit"][i] = True
+                    self._mv["imp_didx"][i] = \
+                        self._implicit_aux.index(ms.name)
+            self._mv["nopass"][i] = ms.ignore_passive_fiber_force
         # kinematic constraint count
         p0 = self.default_params()
         q0 = jnp.zeros(self.nq)
@@ -405,8 +434,12 @@ class Model:
         """(n_muscles,) path lengths. Conditional path points switch between
         a-p-b and the direct a-b segment (OpenSim removes the point when its
         coordinate leaves the range)."""
-        out = []
         frames = self.mech.frames(p["mech"], q)
+        return self._path_lengths_from_frames(frames, p, q)
+
+    def _path_lengths_from_frames(self, frames, p, q):
+        """path_lengths body given precomputed frames."""
+        out = []
         for mspec in self.muscles:
             pts = [self._path_point_world(frames, p, q, pt)
                    for pt in mspec.path]
@@ -435,83 +468,113 @@ class Model:
         lMT, vMT = jax.jvp(lambda qq: self.path_lengths(p, qq), (q,), (u,))
         return lMT, vMT
 
+    def _muscle_vec_state(self, z, x):
+        """(excitation, activation, norm_tendon_force) arrays (nm,)."""
+        mv = self._mv
+        exc = x[jnp.asarray(mv["exc_xidx"])]
+        if self.naux:
+            act_z = z[jnp.asarray(mv["act_zidx"])]
+            ft = z[jnp.asarray(mv["ft_zidx"])]
+        else:
+            act_z = exc
+            ft = exc * 0.0
+        act = jnp.where(jnp.asarray(mv["act_from_z"]), act_z, exc)
+        return exc, act, ft
+
+    def _muscle_forces_vec(self, p, act, ft, lMT, vMT):
+        """Vectorized path tensions (nm,): rigid-tendon closed form or
+        tendon-force state, selected by static per-muscle mask."""
+        mp = p["muscles"]
+        nopass = jnp.asarray(self._mv["nopass"])
+        f_r = dgf.rigid_tendon_force(mp, act, lMT, vMT, nopass)
+        f_c = dgf.tendon_force_from_state(mp, ft)
+        return jnp.where(jnp.asarray(self._mv["rigid"]), f_r, f_c)
+
     def muscle_tendon_forces(self, p, t, q, u, z, x):
         """Per-muscle path tension (N)."""
         if not self.muscles:
             return jnp.zeros(0, dtype=q.dtype)
         lMT, vMT = self.muscle_path_kinematics(p, q, u)
-        forces = []
-        for mi, mspec in enumerate(self.muscles):
-            mp = {k: v[mi] for k, v in p["muscles"].items()}
-            act, ft = self.muscle_state(z, x, mi)
-            if mspec.ignore_tendon_compliance:
-                f = dgf.rigid_tendon_force(mp, act, lMT[mi], vMT[mi],
-                                           mspec.ignore_passive_fiber_force)
-            else:
-                f = dgf.tendon_force_from_state(mp, ft)
-            forces.append(f)
-        return jnp.stack(forces)
+        exc, act, ft = self._muscle_vec_state(z, x)
+        return self._muscle_forces_vec(p, act, ft, lMT, vMT)
 
     def applied_generalized_forces(self, p, t, q, u, z, x):
-        """Total applied generalized force vector f_app(t, y, x, p)."""
-        tau = jnp.zeros(self.nq, dtype=q.dtype)
-        # coordinate actuators
-        for ai, a in enumerate(self.actuators):
-            gain = p["actuator_optimal_force"][ai]
-            tau = tau.at[a.coord].add(gain * x[ai])
+        """Total applied generalized force vector f_app(t, y, x, p).
+
+        One kinematics "bundle" (muscle path lengths + all contact points)
+        is pushed through jvp/vjp once, instead of per-component FK passes
+        — this keeps the traced graph small enough for fast XLA compiles on
+        muscle-rich models.
+        """
+        dtype = q.dtype
+        tau = jnp.zeros(self.nq, dtype=dtype)
+        # coordinate actuators (vectorized scatter-add)
+        if self.actuators:
+            coords = jnp.asarray(np.asarray(
+                [a.coord for a in self.actuators], np.int32))
+            gains = p["actuator_optimal_force"]
+            tau = tau.at[coords].add(gains * x[:len(self.actuators)])
         # springs / dampers
-        for si, s in enumerate(self.springs):
+        if self.springs:
             sp = p["spring"]
-            f = (-sp["stiffness"][si] * (q[s.coord] - sp["rest_length"][si]) -
-                 sp["viscosity"][si] * u[s.coord])
-            tau = tau.at[s.coord].add(f)
-        # muscles: tau += -(dL/dq)^T F  (tension shortens the path)
-        if self.muscles:
-            F = self.muscle_tendon_forces(p, t, q, u, z, x)
-            _, pullback = jax.vjp(lambda qq: self.path_lengths(p, qq), q)
-            tau = tau - pullback(F)[0]
-        # sphere-vs-ground contacts: force at the sphere's lowest point,
-        # applied to the coincident material point (stop_gradient freezes
-        # the body-frame location so J^T maps force AND the contact torque)
-        if self.sphere_contacts:
-            frames = self.mech.frames(p["mech"], q)
-            for spec in self.sphere_contacts:
-                A, o = frames[spec.body]
-                center_w = o + A.T @ jnp.asarray(spec.location,
-                                                 dtype=q.dtype)
-                cp_w = center_w - jnp.asarray([0.0, spec.radius, 0.0],
-                                              dtype=q.dtype)
-                cp_body = jax.lax.stop_gradient(A @ (cp_w - o))
+            scoords = jnp.asarray(np.asarray(
+                [s.coord for s in self.springs], np.int32))
+            f = (-sp["stiffness"] * (q[scoords] - sp["rest_length"]) -
+                 sp["viscosity"] * u[scoords])
+            tau = tau.at[scoords].add(f)
 
-                def cp_fn(qq, b=spec.body, loc=cp_body):
-                    return self.mech.station_position(p["mech"], qq, b, loc)
+        nm = len(self.muscles)
+        nsp = len(self.sphere_contacts)
+        nsc = len(self.contacts)
+        if not (nm or nsp or nsc):
+            return tau
 
-                pos, pullback = jax.vjp(cp_fn, q)
-                vel = jax.jvp(cp_fn, (q,), (u,))[1]
-                F = smooth_sphere_halfspace_force(pos, vel, spec)
-                tau = tau + pullback(F)[0]
-        # station contacts: tau += J^T f_world
-        if self.contacts:
-            def positions(qq):
-                frames = self.mech.frames(p["mech"], qq)
-                pts = []
-                for c in self.contacts:
-                    A, o = frames[c.body]
-                    pts.append(o + A.T @ jnp.asarray(c.location,
-                                                     dtype=qq.dtype))
-                return jnp.stack(pts)
+        # frozen body-local contact points (material points coincident with
+        # each sphere's lowest point at the current configuration)
+        frames0 = self.mech.frames(p["mech"], q)
+        sphere_locs = []
+        for spec in self.sphere_contacts:
+            A, o = frames0[spec.body]
+            center_w = o + A.T @ jnp.asarray(spec.location, dtype=dtype)
+            cp_w = center_w - jnp.asarray([0.0, spec.radius, 0.0],
+                                          dtype=dtype)
+            sphere_locs.append(jax.lax.stop_gradient(A @ (cp_w - o)))
 
-            pos, pullback = jax.vjp(positions, q)
-            vel = jax.jvp(positions, (q,), (u,))[1]
+        def bundle(qq):
+            fr = self.mech.frames(p["mech"], qq)
+            L = (self._path_lengths_from_frames(fr, p, qq) if nm
+                 else jnp.zeros(0, dtype=dtype))
+            pts = []
+            for spec, loc in zip(self.sphere_contacts, sphere_locs):
+                A, o = fr[spec.body]
+                pts.append(o + A.T @ loc)
+            for c in self.contacts:
+                A, o = fr[c.body]
+                pts.append(o + A.T @ jnp.asarray(c.location, dtype=dtype))
+            P = (jnp.stack(pts) if pts else jnp.zeros((0, 3), dtype=dtype))
+            return L, P
+
+        (L, P), (Ldot, Pdot) = jax.jvp(bundle, (q,), (u,))
+        _, pullback = jax.vjp(bundle, q)
+
+        L_cot = jnp.zeros(nm, dtype=dtype)
+        if nm:
+            exc, act, ft = self._muscle_vec_state(z, x)
+            F_m = self._muscle_forces_vec(p, act, ft, L, Ldot)
+            L_cot = -F_m  # tension shortens the path
+        P_cot = jnp.zeros((nsp + nsc, 3), dtype=dtype)
+        for k, spec in enumerate(self.sphere_contacts):
+            P_cot = P_cot.at[k].set(
+                smooth_sphere_halfspace_force(P[k], Pdot[k], spec))
+        if nsc:
             cp = p["contact"]
-            fs = []
-            for cix, c in enumerate(self.contacts):
-                fs.append(avdb_contact_force(
-                    pos[cix], vel[cix], cp["stiffness"][cix],
-                    cp["dissipation"][cix], cp["friction_coefficient"][cix],
+            for j, c in enumerate(self.contacts):
+                k = nsp + j
+                P_cot = P_cot.at[k].set(avdb_contact_force(
+                    P[k], Pdot[k], cp["stiffness"][j], cp["dissipation"][j],
+                    cp["friction_coefficient"][j],
                     c.tangent_velocity_scaling))
-            tau = tau + pullback(jnp.stack(fs))[0]
-        return tau
+        return tau + pullback((L_cot, P_cot))[0]
 
     # ------------------------------------------------------ kinematic cons
     def phi(self, p, q):
@@ -547,53 +610,64 @@ class Model:
         return M @ udot - (tau - b)
 
     def aux_dynamics(self, p, t, q, u, z, x, implicit_aux_derivs=None):
-        """zdot (naux,). Implicit-tendon muscles take their derivative from
-        ``implicit_aux_derivs`` (the zeta variables of the transcription)."""
+        """zdot (naux,), fully vectorized over muscles. Implicit-tendon
+        muscles take their derivative from ``implicit_aux_derivs`` (the
+        zeta variables of the transcription)."""
         if self.naux == 0:
             return jnp.zeros(0, dtype=q.dtype)
-        lMT, vMT = (self.muscle_path_kinematics(p, q, u)
-                    if self.muscles else (None, None))
-        zdot = []
-        imp_i = 0
-        for k, (mname, kind) in enumerate(self._aux_index):
-            mi = next(i for i, m in enumerate(self.muscles)
-                      if m.name == mname)
-            mspec = self.muscles[mi]
-            mp = {kk: v[mi] for kk, v in p["muscles"].items()}
-            act, ft = self.muscle_state(z, x, mi)
-            exc = x[len(self.actuators) + mi]
-            if kind == "activation":
-                zdot.append(dgf.activation_dynamics(
-                    exc, act, mp["activation_time_constant"],
-                    mp["deactivation_time_constant"]))
+        mv = self._mv
+        mp = p["muscles"]
+        exc, act, ft = self._muscle_vec_state(z, x)
+        zdot = jnp.zeros(self.naux, dtype=q.dtype)
+        # activation dynamics entries
+        act_m = np.nonzero(mv["act_from_z"])[0]
+        if act_m.size:
+            dadt = dgf.activation_dynamics(
+                exc, act, mp["activation_time_constant"],
+                mp["deactivation_time_constant"])
+            zdot = zdot.at[jnp.asarray(mv["act_zidx"][act_m])].set(
+                dadt[jnp.asarray(act_m)])
+        # tendon-force dynamics entries
+        comp_m = np.nonzero(~mv["rigid"])[0]
+        if comp_m.size:
+            sub = jnp.asarray(comp_m)
+            has_explicit = bool((~mv["implicit"][comp_m]).any())
+            if has_explicit:
+                mps = {k: v[sub] for k, v in mp.items()}
+                lMT, vMT = self.muscle_path_kinematics(p, q, u)
+                dft_exp = dgf.explicit_tendon_dynamics(
+                    mps, act[sub], ft[sub], lMT[sub], vMT[sub],
+                    jnp.asarray(mv["nopass"][comp_m]))
             else:
-                if mspec.tendon_dynamics_implicit:
-                    zdot.append(implicit_aux_derivs[
-                        self._implicit_aux.index(mname)])
-                else:
-                    zdot.append(dgf.explicit_tendon_dynamics(
-                        mp, act, ft, lMT[mi], vMT[mi],
-                        mspec.ignore_passive_fiber_force))
-        return jnp.stack(zdot)
+                dft_exp = jnp.zeros(len(comp_m), dtype=q.dtype)
+            if implicit_aux_derivs is not None and \
+                    bool(mv["implicit"][comp_m].any()):
+                zeta = implicit_aux_derivs[
+                    jnp.asarray(mv["imp_didx"][comp_m])]
+            else:
+                zeta = dft_exp * 0.0
+            dft = jnp.where(jnp.asarray(mv["implicit"][comp_m]), zeta,
+                            dft_exp)
+            zdot = zdot.at[jnp.asarray(mv["ft_zidx"][comp_m])].set(dft)
+        return zdot
 
     def implicit_aux_residuals(self, p, t, q, u, z, x, implicit_aux_derivs):
         """Equilibrium residuals for implicit-tendon muscles (normalized by
-        max isometric force for conditioning)."""
+        max isometric force for conditioning), vectorized."""
         if not self._implicit_aux:
             return jnp.zeros(0, dtype=q.dtype)
+        mv = self._mv
+        imp_m = np.nonzero(mv["implicit"])[0]
+        sub = jnp.asarray(imp_m)
+        mp = p["muscles"]
+        mps = {k: v[sub] for k, v in mp.items()}
+        exc, act, ft = self._muscle_vec_state(z, x)
         lMT, vMT = self.muscle_path_kinematics(p, q, u)
-        res = []
-        for ii, mname in enumerate(self._implicit_aux):
-            mi = next(i for i, m in enumerate(self.muscles)
-                      if m.name == mname)
-            mspec = self.muscles[mi]
-            mp = {kk: v[mi] for kk, v in p["muscles"].items()}
-            act, ft = self.muscle_state(z, x, mi)
-            r = dgf.implicit_tendon_residual(
-                mp, act, ft, implicit_aux_derivs[ii], lMT[mi], vMT[mi],
-                mspec.ignore_passive_fiber_force)
-            res.append(r / mp["max_isometric_force"])
-        return jnp.stack(res)
+        zeta = implicit_aux_derivs[jnp.asarray(mv["imp_didx"][imp_m])]
+        r = dgf.implicit_tendon_residual(
+            mps, act[sub], ft[sub], zeta, lMT[sub], vMT[sub],
+            jnp.asarray(mv["nopass"][imp_m]))
+        return r / mps["max_isometric_force"]
 
     def state_derivatives(self, p, t, q, u, z, x, lam,
                           implicit_aux_derivs=None, udot=None):

@@ -131,11 +131,16 @@ def force_velocity_inverse(fv_multiplier):
     return (jnp.sinh(1.0 / D1 * (fv_multiplier - D4)) - D3) / D2
 
 
-def passive_force_length(norm_fiber_length, e0=0.6):
-    """Passive fiber force; zero at norm length 0.2 (h:383-405)."""
+def passive_force_length(norm_fiber_length, e0=0.6, ignore=False):
+    """Passive fiber force; zero at norm length 0.2 (h:383-405).
+    ``ignore`` may be a bool or a per-muscle bool/float array
+    (ModOpIgnorePassiveFiberForcesDGF support)."""
     offset = jnp.exp(KPE * (MIN_NORM_FIBER_LENGTH - 1.0) / e0)
     denom = jnp.exp(KPE) - offset
-    return (jnp.exp(KPE * (norm_fiber_length - 1.0) / e0) - offset) / denom
+    val = (jnp.exp(KPE * (norm_fiber_length - 1.0) / e0) - offset) / denom
+    if ignore is False:
+        return val
+    return jnp.where(jnp.asarray(ignore), 0.0, val)
 
 
 def tendon_kT(tendon_strain_at_one_norm_force):
@@ -212,8 +217,9 @@ def rigid_tendon_force(p, activation, lMT, vMT, ignore_passive_fiber_force=False
     fl_act = active_force_length(norm_fiber_length,
                                  p["active_force_width_scale"])
     fv = force_velocity(norm_fiber_velocity)
-    fl_pas = (0.0 if ignore_passive_fiber_force else passive_force_length(
-        norm_fiber_length, p["passive_fiber_strain_at_one_norm_force"]))
+    fl_pas = passive_force_length(
+        norm_fiber_length, p["passive_fiber_strain_at_one_norm_force"],
+        ignore=ignore_passive_fiber_force)
     fmax = p["max_isometric_force"]
     fiber_force = fmax * (activation * fl_act * fv + fl_pas +
                           p["fiber_damping"] * norm_fiber_velocity)
@@ -249,8 +255,9 @@ def explicit_tendon_dynamics(p, activation, norm_tendon_force, lMT, vMT,
      sin_pen) = compliant_tendon_state(p, norm_tendon_force, lMT)
     fl_act = active_force_length(norm_fiber_length,
                                  p["active_force_width_scale"])
-    fl_pas = (0.0 if ignore_passive_fiber_force else passive_force_length(
-        norm_fiber_length, p["passive_fiber_strain_at_one_norm_force"]))
+    fl_pas = passive_force_length(
+        norm_fiber_length, p["passive_fiber_strain_at_one_norm_force"],
+        ignore=ignore_passive_fiber_force)
     norm_fiber_force = norm_tendon_force / cos_pen
     fv = (norm_fiber_force - fl_pas) / (activation * fl_act)
     norm_fiber_velocity = force_velocity_inverse(fv)
@@ -287,8 +294,9 @@ def implicit_tendon_residual(p, activation, norm_tendon_force,
     fl_act = active_force_length(norm_fiber_length,
                                  p["active_force_width_scale"])
     fv = force_velocity(norm_fiber_velocity)
-    fl_pas = (0.0 if ignore_passive_fiber_force else passive_force_length(
-        norm_fiber_length, p["passive_fiber_strain_at_one_norm_force"]))
+    fl_pas = passive_force_length(
+        norm_fiber_length, p["passive_fiber_strain_at_one_norm_force"],
+        ignore=ignore_passive_fiber_force)
     fmax = p["max_isometric_force"]
     fiber_force = fmax * (activation * fl_act * fv + fl_pas +
                           p["fiber_damping"] * norm_fiber_velocity)
