@@ -44,6 +44,25 @@ class Study:
         rep = self.problem.create_rep()
         return Transcription(rep, self.solver_options)
 
+    def _solution_iterate(self, tr, solution):
+        z = getattr(solution, "raw_iterate", None)
+        return z if z is not None else tr.guess_from_trajectory(solution)
+
+    def objective_breakdown(self, solution):
+        """Per-goal cost terms of a solution (reference
+        printObjectiveBreakdown)."""
+        tr = self.transcription()
+        return tr.objective_breakdown(self._solution_iterate(tr, solution))
+
+    def print_constraint_values(self, solution):
+        """Max |violation| per constraint group (reference
+        printConstraintValues diagnostics)."""
+        tr = self.transcription()
+        rep_vals = tr.constraint_report(self._solution_iterate(tr, solution))
+        for name, v in rep_vals.items():
+            print(f"  {name:<28s} max |violation| = {v:.3e}")
+        return rep_vals
+
     def create_guess(self, kind="bounds"):
         """Flat initial iterate (reference createGuess("bounds"),
         MocoCasADiSolver.cpp:51-73); also accepts a Trajectory via
@@ -141,6 +160,7 @@ class Study:
             num_iterations=int(it_h),
             solver_duration=duration,
             kkt_error=float(kkt_h),
+            raw_iterate=np.asarray(z_h),
         )
         if not converged:
             sol.seal()

@@ -535,8 +535,11 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         # mu rescue (non-monotone barrier): a rejected Newton step usually
         # means the iterate slammed into bounds after mu raced ahead;
         # re-centering with a larger mu pulls it back off (cf. adaptive-mu
-        # strategies, Nocedal/Waechter/Waltz).
-        mu_rescued = jnp.where(any_acc, mu_new,
+        # strategies, Nocedal/Waechter/Waltz). Near the solution (already
+        # at acceptable KKT level) rescuing only causes limit cycles, so
+        # hold mu there and let the acceptable-level exit fire.
+        near_solution = e0 <= acc_tol
+        mu_rescued = jnp.where(any_acc | near_solution, mu_new,
                                jnp.minimum(jnp.asarray(opt.mu_init, dtype),
                                            mu_new * 10.0))
         rescue = (~any_acc) & (mu_rescued != mu_new)

@@ -478,6 +478,78 @@ class Transcription:
 
         return objective
 
+    # ------------------------------------------------------------ diagnostics
+    def constraint_group_info(self):
+        """(name, size) per constraint block, in assembly order (must stay
+        in sync with constraints_fn). Powers the printConstraintValues-style
+        diagnostics (reference CasOCTranscription.cpp:723-1102)."""
+        rep = self.rep
+        groups = []
+        ny, nq = self.ny, self.nq
+        if self.hermite_simpson:
+            if self.n_gamma:
+                groups.append(("midpoint_manifold_phi",
+                               self.n_int * self.rep.nlam))
+            groups.append(("hermite_defect", self.n_int * ny))
+            groups.append(("simpson_defect", self.n_int * ny))
+            if self.nx and self.opt.interpolate_control_midpoints:
+                groups.append(("control_midpoint", self.n_int * self.nx))
+        else:
+            groups.append(("trapezoidal_defect", self.n_int * ny))
+        n_alg = ((nq if self.implicit_mb else 0) + self.n_zeta +
+                 (nq if self.prescribed else 0))
+        if n_alg:
+            groups.append(("dae_residual", self.G * n_alg))
+        if self.nlam and not self.prescribed:
+            nkc = len(self.mesh_idx)
+            k = self.rep.nlam
+            mult = 3 if self.opt.enforce_constraint_derivatives else 1
+            groups.append(("kinematic_constraint", nkc * k * mult))
+        for pc in rep.path_constraints:
+            groups.append((f"path:{pc.name}",
+                           self.n_pc_points * len(pc.lower)))
+        for g in self.ec_goals:
+            groups.append((f"endpoint:{g.name}", g.num_outputs))
+        return groups
+
+    def objective_breakdown(self, z):
+        """Per-goal cost terms at an iterate (reference
+        printObjectiveBreakdown, CasOCTranscription.cpp:700-706)."""
+        import jax
+
+        rep = self.rep
+        z = jnp.asarray(z)
+        t0, tf, Y, X, L, D, Gm, pcs, ecs, theta = self.unpack(z)
+        p = rep.apply_parameters(theta)
+        ts = self._grid_times(t0, tf)
+        w = (tf - t0) * jnp.asarray(self.quad_w, dtype=z.dtype)
+        initial = (ts[0], Y[0], X[0],
+                   L[0] if self.nlam else jnp.zeros(0, z.dtype))
+        final = (ts[-1], Y[-1], X[-1],
+                 L[-1] if self.nlam else jnp.zeros(0, z.dtype))
+        out = {}
+        for g in self.cost_goals:
+            integrand = jax.vmap(
+                lambda t, y, x, lam: g.integrand(rep, t, y, x, lam, p))(
+                    ts, Y, X, L)
+            S = jnp.sum(w * integrand)
+            out[g.name] = float(g.weight *
+                                g.value(rep, initial, final, S, p))
+        return out
+
+    def constraint_report(self, z):
+        """Max |violation| per constraint group at an iterate."""
+        c = np.asarray(self.constraints_fn()(jnp.asarray(z)))
+        report = {}
+        off = 0
+        for name, size in self.constraint_group_info():
+            seg = c[off:off + size]
+            report[name] = float(np.max(np.abs(seg))) if size else 0.0
+            off += size
+        assert off == len(c), (off, len(c), "constraint group info out of "
+                               "sync with constraints_fn")
+        return report
+
     # ---------------------------------------------------------------- NLP
     def make_nlp(self) -> NLP:
         lb, ub = self.bounds()

@@ -103,6 +103,7 @@ class Solution(Trajectory):
     num_iterations: int = -1
     solver_duration: float = np.nan
     kkt_error: float = np.nan
+    raw_iterate: np.ndarray | None = None  # flat NLP iterate (diagnostics)
     _sealed: bool = False
 
     def seal(self):
