@@ -36,18 +36,28 @@ from .spatial import crf, crm, rodrigues, skew, spatial_inertia
 
 GROUND = -1
 
-_VALID_KINDS = ("revolute", "prismatic", "weld")
+_VALID_KINDS = ("revolute", "prismatic", "weld", "custom")
 
 
 @dataclasses.dataclass(frozen=True)
 class JointSpec:
-    """Static description of a joint connecting parent body -> child body."""
+    """Static description of a joint connecting parent body -> child body.
+
+    ``kind == "custom"`` models OpenSim CustomJoint: a spatial transform of
+    three body-fixed rotations followed by a translation, each axis driven
+    by a function of one of the joint's coordinates (``custom_axes``:
+    six (axis, fn, local_coord_index) tuples, rotations first; fn None
+    means the axis is unused/constant-zero). The motion subspace S(q) is
+    derived by autodiff, so spline-coupled axes (walking-model knees) work
+    exactly."""
 
     name: str
     kind: str
-    axis: tuple  # unit axis, static
-    coord_name: str | None  # None for weld
+    axis: tuple  # unit axis, static (simple joints)
+    coord_name: str | None  # None for weld; first coord for custom
     label: str | None = None  # display name for paths (multi-dof chains)
+    coord_names: tuple = ()  # all coords (custom joints)
+    custom_axes: tuple = ()  # ((axis3, fn, local_ci) x 6)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,18 +97,25 @@ class MechModel:
         self._child_r = (np.zeros((nb, 3)) if child_r is None
                          else np.asarray(child_r, dtype=np.float64))
         self._gravity = np.asarray(gravity, dtype=np.float64)
-        # coordinate index per body (-1 if weld)
-        coord = []
+        # coordinate indices per body (empty tuple if weld)
+        coords = []
         self.coord_names = []
         k = 0
         for j in self.joints:
             if j.kind == "weld":
-                coord.append(-1)
+                coords.append(())
+            elif j.kind == "custom":
+                idxs = tuple(range(k, k + len(j.coord_names)))
+                coords.append(idxs)
+                self.coord_names.extend(j.coord_names)
+                k += len(j.coord_names)
             else:
-                coord.append(k)
+                coords.append((k,))
                 self.coord_names.append(j.coord_name)
                 k += 1
-        self._coord_of_body = tuple(coord)
+        self._coords_of_body = tuple(coords)
+        # legacy single-index view used by simple-joint fast paths
+        self._coord_of_body = tuple(c[0] if c else -1 for c in coords)
         self.nq = k
         self.nb = len(self.bodies)
 
@@ -144,6 +161,63 @@ class MechModel:
         """Compose coordinate maps x -> E1(x - r1) then -> E2(. - r2)."""
         return E2 @ E1, r1 + E1.T @ r2
 
+    def _custom_rel_pose(self, spec, qj):
+        """(E, r) for a custom joint from its local coordinate vector.
+
+        Body-fixed rotation sequence about the listed axes (OpenSim
+        CustomJoint/SpatialTransform rotation1..3) followed by a translation
+        along the listed axes expressed in the joint-base (parent) frame
+        (translation1..3), each driven by fn(coordinate)."""
+        dtype = qj.dtype
+        R = jnp.eye(3, dtype=dtype)
+        for (axis, fn, ci) in spec.custom_axes[:3]:
+            if fn is None:
+                continue
+            R = R @ rodrigues(jnp.asarray(axis, dtype), fn(qj[ci]))
+        t = jnp.zeros(3, dtype=dtype)
+        for (axis, fn, ci) in spec.custom_axes[3:]:
+            if fn is None:
+                continue
+            t = t + jnp.asarray(axis, dtype) * fn(qj[ci])
+        return R.T, t
+
+    def _net_pose_fn(self, i, p, dtype):
+        """Returns net_pose(qj) -> (E, r): parent-body -> child-body map as
+        a function of the joint's local coordinates (offsets composed in),
+        plus the static coordinate index tuple."""
+        spec = self.joints[i]
+        idxs = self._coords_of_body[i]
+        E_T = p["tree_E"][i].astype(dtype)
+        r_T = p["tree_r"][i].astype(dtype)
+        cE = p["child_E"][i].astype(dtype)
+        cr = p["child_r"][i].astype(dtype)
+
+        def net(qj):
+            if spec.kind == "custom":
+                E_j, r_j = self._custom_rel_pose(spec, qj)
+            elif spec.kind == "weld":
+                E_j = jnp.eye(3, dtype=dtype)
+                r_j = jnp.zeros(3, dtype=dtype)
+            elif spec.kind == "revolute":
+                E_j = rodrigues(jnp.asarray(spec.axis, dtype), qj[0]).T
+                r_j = jnp.zeros(3, dtype=dtype)
+            else:  # prismatic
+                E_j = jnp.eye(3, dtype=dtype)
+                r_j = jnp.asarray(spec.axis, dtype) * qj[0]
+            E, r = self._compose(E_T, r_T, E_j, r_j)
+            return self._compose(E, r, cE.T, -cE @ cr)
+
+        return net, idxs
+
+    @staticmethod
+    def _rel_velocity(net, qj, uj):
+        """Relative spatial velocity (child coords) of a joint from the net
+        pose map: omega from E Edot^T, linear from E rdot."""
+        (E, r), (Ed, rd) = jax.jvp(net, (qj,), (uj,))
+        Mw = E @ Ed.T
+        om = jnp.stack([Mw[2, 1], Mw[0, 2], Mw[1, 0]])
+        return jnp.concatenate([om, E @ rd])
+
     def _joint_net(self, i, p, q):
         """Net (E, r) parent-body -> child-body map and S (child coords).
 
@@ -151,6 +225,12 @@ class MechModel:
         offset frame (OpenSim joints attach between two PhysicalOffsetFrames;
         tree_E/tree_r give the joint frame pose on the parent side,
         child_E/child_r its pose on the child side)."""
+        spec = self.joints[i]
+        if spec.kind == "custom":
+            net, idxs = self._net_pose_fn(i, p, q.dtype)
+            qj = q[jnp.asarray(idxs)] if idxs else jnp.zeros(0, q.dtype)
+            E, r = net(qj)
+            return E, r, None
         E_j, r_j, S = self._joint_EjrjS(i, p, q)
         E_T = p["tree_E"][i].astype(q.dtype)
         r_T = p["tree_r"][i].astype(q.dtype)
@@ -217,9 +297,36 @@ class MechModel:
         return jax.jvp(pos, (q,), (u,))[1]
 
     # -------------------------------------------------------------- dynamics
+    def _body_motion(self, i, p, q, u, udot):
+        """(Xup, S (6,d)|None, vJ, aJ_partial, idxs) for body i.
+
+        aJ_partial = S qdd + Sdot qd (the crm(v) vJ term is added by the
+        caller). Simple joints use the constant-S fast path; custom joints
+        derive S and Sdot via autodiff of the net pose map."""
+        dtype = q.dtype
+        spec = self.joints[i]
+        if spec.kind != "custom":
+            Xup, S = self._Xup_S(i, p, q)
+            ci = self._coord_of_body[i]
+            if S is None:
+                z = jnp.zeros(6, dtype=dtype)
+                return Xup, None, z, z, ()
+            return (Xup, S[:, None], S * u[ci], S * udot[ci], (ci,))
+        net, idxs = self._net_pose_fn(i, p, dtype)
+        ii = jnp.asarray(idxs)
+        qj, uj, aj = q[ii], u[ii], udot[ii]
+        E, r = net(qj)
+        Z = jnp.zeros((3, 3), dtype=dtype)
+        Xup = jnp.block([[E, Z], [-E @ skew(r), E]])
+        vJ_fn = lambda qq, uu: self._rel_velocity(net, qq, uu)
+        vJ, aJ = jax.jvp(vJ_fn, (qj, uj), (uj, aj))
+        S = jax.jacfwd(vJ_fn, argnums=1)(qj, uj)
+        return Xup, S, vJ, aJ, idxs
+
     def rnea(self, p, q, u, udot):
         """Inverse dynamics: generalized forces balancing (q, u, udot) under
-        gravity and velocity-product terms.  Featherstone RBDA table 5.1."""
+        gravity and velocity-product terms.  Featherstone RBDA table 5.1,
+        generalized to multi-dof joints with q-dependent motion subspaces."""
         dtype = q.dtype
         g = p["gravity"].astype(dtype)
         a_base = jnp.concatenate([jnp.zeros(3, dtype=dtype), -g])
@@ -229,47 +336,42 @@ class MechModel:
         Xups = [None] * self.nb
         Ss = [None] * self.nb
         for i in range(self.nb):
-            Xup, S = self._Xup_S(i, p, q)
+            Xup, S, vJ, aJ, idxs = self._body_motion(i, p, q, u, udot)
             Xups[i] = Xup
             Ss[i] = S
             pa = self.parents[i]
             v_p = jnp.zeros(6, dtype=dtype) if pa == GROUND else v[pa]
             a_p = a_base if pa == GROUND else a[pa]
-            ci = self._coord_of_body[i]
-            if S is None:
-                vJ = jnp.zeros(6, dtype=dtype)
-                aJ = jnp.zeros(6, dtype=dtype)
-            else:
-                vJ = S * u[ci]
-                aJ = S * udot[ci]
             v[i] = Xup @ v_p + vJ
             a[i] = Xup @ a_p + aJ + crm(v[i]) @ vJ
             I = spatial_inertia(p["mass"][i].astype(dtype),
                                 p["com"][i].astype(dtype),
                                 p["inertia"][i].astype(dtype))
             f[i] = I @ a[i] + crf(v[i]) @ (I @ v[i])
-        tau = [jnp.zeros((), dtype=dtype)] * self.nq
+        tau = jnp.zeros(self.nq, dtype=dtype)
         for i in reversed(range(self.nb)):
-            ci = self._coord_of_body[i]
+            idxs = self._coords_of_body[i]
             if Ss[i] is not None:
-                tau[ci] = Ss[i] @ f[i]
+                tau = tau.at[jnp.asarray(idxs)].set(Ss[i].T @ f[i])
             pa = self.parents[i]
             if pa != GROUND:
                 f[pa] = f[pa] + Xups[i].T @ f[i]
-        return jnp.stack(tau) if self.nq else jnp.zeros(0, dtype=dtype)
+        return tau
 
     def bias_forces(self, p, q, u):
         """C(q,u) + gravity terms: rnea with zero acceleration."""
         return self.rnea(p, q, u, jnp.zeros_like(u))
 
     def mass_matrix(self, p, q):
-        """Joint-space inertia matrix via the composite-rigid-body algorithm."""
+        """Joint-space inertia matrix via the composite-rigid-body
+        algorithm, generalized to multi-dof joints."""
         dtype = q.dtype
+        zu = jnp.zeros(self.nq, dtype=dtype)
         Ic = []
         Xups = []
         Ss = []
         for i in range(self.nb):
-            Xup, S = self._Xup_S(i, p, q)
+            Xup, S, _, _, _ = self._body_motion(i, p, q, zu, zu)
             Xups.append(Xup)
             Ss.append(S)
             Ic.append(spatial_inertia(p["mass"][i].astype(dtype),
@@ -279,25 +381,31 @@ class MechModel:
             pa = self.parents[i]
             if pa != GROUND:
                 Ic[pa] = Ic[pa] + Xups[i].T @ Ic[i] @ Xups[i]
-        H = [[jnp.zeros((), dtype=dtype) for _ in range(self.nq)]
-             for _ in range(self.nq)]
+        if self.nq == 0:
+            return jnp.zeros((0, 0), dtype=dtype)
+        H = jnp.zeros((self.nq, self.nq), dtype=dtype)
+
+        def set_block(H, rows, cols, B):
+            r = jnp.asarray(rows)[:, None]
+            c = jnp.asarray(cols)[None, :]
+            return H.at[r, c].set(B)
+
         for i in range(self.nb):
-            ci = self._coord_of_body[i]
+            ci = self._coords_of_body[i]
             if Ss[i] is None:
                 continue
-            F = Ic[i] @ Ss[i]
-            H[ci][ci] = Ss[i] @ F
+            F = Ic[i] @ Ss[i]  # (6, d_i)
+            H = set_block(H, ci, ci, Ss[i].T @ F)
             j = i
             while self.parents[j] != GROUND:
                 F = Xups[j].T @ F
                 j = self.parents[j]
-                cj = self._coord_of_body[j]
-                if cj >= 0:
-                    H[ci][cj] = Ss[j] @ F
-                    H[cj][ci] = H[ci][cj]
-        if self.nq == 0:
-            return jnp.zeros((0, 0), dtype=dtype)
-        return jnp.stack([jnp.stack(row) for row in H])
+                cj = self._coords_of_body[j]
+                if cj:
+                    B = Ss[j].T @ F  # (d_j, d_i)
+                    H = set_block(H, cj, ci, B)
+                    H = set_block(H, ci, cj, B.T)
+        return H
 
     def forward_dynamics(self, p, q, u, tau_applied):
         """udot = M(q)^{-1} (tau_applied - bias(q, u))."""
@@ -325,7 +433,8 @@ class MechModelBuilder:
     def add_body(self, name, mass=0.0, com=(0, 0, 0), inertia=None,
                  joint_name=None, kind="weld", parent="ground", axis=(0, 0, 1),
                  tree_r=(0, 0, 0), tree_E=None, coord_name=None,
-                 child_r=(0, 0, 0), child_E=None, joint_label=None):
+                 child_r=(0, 0, 0), child_E=None, joint_label=None,
+                 coord_names=(), custom_axes=()):
         """Add a body and the joint that connects it to ``parent``.
 
         ``tree_r``/``tree_E`` give the joint frame pose in the parent frame;
@@ -346,17 +455,23 @@ class MechModelBuilder:
             joint_name = f"{name}_joint"
         if kind not in _VALID_KINDS:
             raise ValueError(f"unknown joint kind {kind!r}")
-        if kind != "weld" and coord_name is None:
+        if kind == "custom":
+            assert coord_names and custom_axes, \
+                "custom joints need coord_names and custom_axes"
+            coord_name = coord_names[0]
+        elif kind != "weld" and coord_name is None:
             coord_name = f"{joint_name}_coord"
         ax = np.asarray(axis, dtype=np.float64)
         n = np.linalg.norm(ax)
-        if kind != "weld":
+        if kind not in ("weld", "custom"):
             ax = ax / n
         self._bodies.append(BodySpec(name, float(mass),
                                      tuple(np.asarray(com, dtype=np.float64)),
                                      tuple(map(tuple, inertia))))
         self._joints.append(JointSpec(joint_name, kind, tuple(ax), coord_name,
-                                      joint_label or joint_name))
+                                      joint_label or joint_name,
+                                      tuple(coord_names),
+                                      tuple(custom_axes)))
         self._parents.append(self._name_to_idx[parent])
         self._tree_E.append(np.asarray(tree_E, dtype=np.float64))
         self._tree_r.append(np.asarray(tree_r, dtype=np.float64))
