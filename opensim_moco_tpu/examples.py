@@ -235,3 +235,60 @@ def gait2d_tracking_study(num_mesh_intervals=50, state_tracking_weight=10.0,
 
     guess = track.make_guess(study)
     return study, guess
+
+
+REF_TESTS = "/root/reference/Moco/Tests"
+
+
+def gait_inverse_study(mesh_interval=0.05, initial_time=0.45,
+                       final_time=1.0, tol=1e-3):
+    """MocoInverse on subject_walk_armless (gait10dof18musc-class config;
+    reference Moco/Tests/testMocoInverse.cpp:118-147): 3D 21-coordinate
+    model (CustomJoints with spline-coupled knees, 16 wrap cylinders),
+    18 muscles converted to DGF with implicit tendon compliance and no
+    passive fiber forces, measured GRFs applied as external loads, and all
+    coordinates prescribed from (6 Hz low-passed) measured kinematics.
+
+    Returns the configured Study (prescribed-kinematics transcription)."""
+    from .tools.inverse import Inverse
+    from .utils.osim import parse_external_loads, parse_osim
+    from .utils.processors import filter_lowpass
+    from .utils.tables import read_sto
+
+    model, info = parse_osim(
+        f"{REF_TESTS}/subject_walk_armless_18musc.osim",
+        weld_joints=("subtalar_r", "subtalar_l", "mtp_r", "mtp_l"))
+    # ModOpIgnorePassiveFiberForcesDGF + TendonComplianceDynamicsModeDGF
+    # (testMocoInverse.cpp:125-127)
+    import dataclasses as _dc
+    model.muscles = [
+        _dc.replace(m, ignore_passive_fiber_force=True,
+                    tendon_dynamics_implicit=True)
+        for m in model.muscles]
+
+    # external loads (testMocoInverse.cpp:128)
+    for s in parse_external_loads(
+            f"{REF_TESTS}/subject_walk_armless_external_loads.xml"):
+        model.add_external_force(s["name"],
+                                 info["body_idx"][s["body_name"]],
+                                 s["force_fn"], s["point_fn"],
+                                 s["torque_fn"])
+    model.finalize()
+
+    # kinematics: 6 Hz low-pass, degrees -> radians for rotational coords
+    kin = filter_lowpass(read_sto(
+        f"{REF_TESTS}/subject_walk_armless_coordinates.mot"), 6.0)
+    translational = {"pelvis_tx", "pelvis_ty", "pelvis_tz"}
+    cols = []
+    for cn in model.mech.coord_names:
+        v = kin.column(cn)
+        if kin.in_degrees() and cn not in translational:
+            v = np.deg2rad(v)
+        cols.append(v)
+    values = np.stack(cols, axis=1)
+
+    inv = Inverse(model=model, kinematics=(np.asarray(kin.time), values),
+                  initial_time=initial_time, final_time=final_time,
+                  mesh_interval=mesh_interval,
+                  convergence_tolerance=tol)
+    return inv.build_study()

@@ -167,6 +167,9 @@ class Model:
         self._muscle_params: list[dict] = []
         self.contacts: list[StationContactSpec] = []
         self.sphere_contacts: list[SphereContactSpec] = []
+        # measured external loads (OpenSim ExternalForce/ExternalLoads):
+        # dicts with body, force_fn(t), point_fn(t), torque_fn(t)|None
+        self.external_forces: list[dict] = []
         self.kinematic_constraints: list[tuple[str, Callable]] = []
         # PositionMotion analogue (reference Components/PositionMotion.h):
         # (params, t) -> (q, u, udot); removes multibody states entirely
@@ -212,6 +215,12 @@ class Model:
                 assert norm_path[i - 1][0] != "conditional" and \
                     norm_path[i + 1][0] != "conditional", \
                     "adjacent conditional path points unsupported"
+            if pt[0] == "wrap":
+                assert 0 < i < len(norm_path) - 1, \
+                    "wrap marker must sit between two path points"
+                assert norm_path[i - 1][0] != "conditional" and \
+                    norm_path[i + 1][0] != "conditional", \
+                    "wrap adjacent to conditional point unsupported"
         self.muscles.append(MuscleSpec(
             name, tuple(norm_path),
             ignore_activation_dynamics, ignore_tendon_compliance,
@@ -225,6 +234,15 @@ class Model:
     def add_sphere_contact(self, name, body, location, radius, **kwargs):
         self.sphere_contacts.append(SphereContactSpec(
             name, body, tuple(location), float(radius), **kwargs))
+
+    def add_external_force(self, name, body, force_fn, point_fn,
+                           torque_fn=None):
+        """Measured external load (OpenSim ExternalForce): world-frame
+        force/torque applied at a world point, all functions of time
+        (ModOpAddExternalLoads analogue, reference ModelOperators.h:326)."""
+        self.external_forces.append({
+            "name": name, "body": body, "force_fn": force_fn,
+            "point_fn": point_fn, "torque_fn": torque_fn})
 
     def add_kinematic_constraint(self, name, fn):
         """fn(mech_params, q) -> (k,) position-level constraint residual."""
@@ -437,11 +455,30 @@ class Model:
         frames = self.mech.frames(p["mech"], q)
         return self._path_lengths_from_frames(frames, p, q)
 
+    def _wrap_segment_length(self, frames, q, a_w, b_w, wraps):
+        """Segment a->b with one or more wrap cylinders: each candidate
+        wrap length is computed in its cylinder frame; the engaged wrap
+        dominates (max over candidates and the straight length — a lower
+        bound when multiple cylinders engage simultaneously)."""
+        from .wrap import cylinder_wrap_length
+
+        L = jnp.linalg.norm(b_w - a_w + 1e-30)
+        for spec in wraps:
+            A, o = frames[spec.body]
+            Ec = jnp.asarray(spec.rotation(), dtype=q.dtype)
+            tc = jnp.asarray(spec.translation, dtype=q.dtype)
+            to_cyl = lambda x: Ec @ (A @ (x - o) - tc)
+            Lw = cylinder_wrap_length(to_cyl(a_w), to_cyl(b_w), spec.radius,
+                                      spec.quadrant)
+            L = jnp.maximum(L, Lw)
+        return L
+
     def _path_lengths_from_frames(self, frames, p, q):
         """path_lengths body given precomputed frames."""
         out = []
         for mspec in self.muscles:
-            pts = [self._path_point_world(frames, p, q, pt)
+            pts = [None if pt[0] == "wrap" else
+                   self._path_point_world(frames, p, q, pt)
                    for pt in mspec.path]
             L = jnp.zeros((), dtype=q.dtype)
             i = 0
@@ -457,6 +494,16 @@ class Model:
                     without = jnp.linalg.norm(b - a + 1e-30)
                     L = L + jnp.where(active, with_pt, without)
                     i += 2
+                elif nxt[0] == "wrap":
+                    # collect consecutive wrap markers on this segment
+                    wraps = []
+                    j = i + 1
+                    while j < n and mspec.path[j][0] == "wrap":
+                        wraps.append(mspec.path[j][1])
+                        j += 1
+                    L = L + self._wrap_segment_length(frames, q, pts[i],
+                                                      pts[j], wraps)
+                    i = j
                 else:
                     L = L + jnp.linalg.norm(pts[i + 1] - pts[i] + 1e-30)
                     i += 1
@@ -526,7 +573,8 @@ class Model:
         nm = len(self.muscles)
         nsp = len(self.sphere_contacts)
         nsc = len(self.contacts)
-        if not (nm or nsp or nsc):
+        nef = len(self.external_forces)
+        if not (nm or nsp or nsc or nef):
             return tau
 
         # frozen body-local contact points (material points coincident with
@@ -540,6 +588,14 @@ class Model:
                                           dtype=dtype)
             sphere_locs.append(jax.lax.stop_gradient(A @ (cp_w - o)))
 
+        # external loads: freeze the body-local point coincident with the
+        # measured center of pressure at time t
+        ext_locs = []
+        for ef in self.external_forces:
+            A, o = frames0[ef["body"]]
+            pw = jnp.asarray(ef["point_fn"](t), dtype=dtype)
+            ext_locs.append(jax.lax.stop_gradient(A @ (pw - o)))
+
         def bundle(qq):
             fr = self.mech.frames(p["mech"], qq)
             L = (self._path_lengths_from_frames(fr, p, qq) if nm
@@ -551,6 +607,9 @@ class Model:
             for c in self.contacts:
                 A, o = fr[c.body]
                 pts.append(o + A.T @ jnp.asarray(c.location, dtype=dtype))
+            for ef, loc in zip(self.external_forces, ext_locs):
+                A, o = fr[ef["body"]]
+                pts.append(o + A.T @ loc)
             P = (jnp.stack(pts) if pts else jnp.zeros((0, 3), dtype=dtype))
             return L, P
 
@@ -562,7 +621,7 @@ class Model:
             exc, act, ft = self._muscle_vec_state(z, x)
             F_m = self._muscle_forces_vec(p, act, ft, L, Ldot)
             L_cot = -F_m  # tension shortens the path
-        P_cot = jnp.zeros((nsp + nsc, 3), dtype=dtype)
+        P_cot = jnp.zeros((nsp + nsc + nef, 3), dtype=dtype)
         for k, spec in enumerate(self.sphere_contacts):
             P_cot = P_cot.at[k].set(
                 smooth_sphere_halfspace_force(P[k], Pdot[k], spec))
@@ -574,7 +633,26 @@ class Model:
                     P[k], Pdot[k], cp["stiffness"][j], cp["dissipation"][j],
                     cp["friction_coefficient"][j],
                     c.tangent_velocity_scaling))
-        return tau + pullback((L_cot, P_cot))[0]
+        for j, ef in enumerate(self.external_forces):
+            P_cot = P_cot.at[nsp + nsc + j].set(
+                jnp.asarray(ef["force_fn"](t), dtype=dtype))
+        tau = tau + pullback((L_cot, P_cot))[0]
+        # external torques: tau += (d omega_world / du)^T T
+        for ef in self.external_forces:
+            if ef["torque_fn"] is None:
+                continue
+            T = jnp.asarray(ef["torque_fn"](t), dtype=dtype)
+
+            def omega_dot_T(uu, b=ef["body"], T=T):
+                def rot(qq):
+                    return self.mech.frames(p["mech"], qq)[b][0]
+                A, Adot = jax.jvp(rot, (q,), (uu,))
+                W = Adot @ A.T
+                om_frame = jnp.stack([W[2, 1], W[0, 2], W[1, 0]])
+                return -(A.T @ om_frame) @ T
+
+            tau = tau + jax.grad(omega_dot_T)(u)
+        return tau
 
     # ------------------------------------------------------ kinematic cons
     def phi(self, p, q):

@@ -19,6 +19,7 @@ Moco/Tests/subject_walk_armless_18musc.osim.
 
 from __future__ import annotations
 
+import dataclasses
 import xml.etree.ElementTree as ET
 
 import numpy as np
@@ -102,7 +103,111 @@ def _parse_function(el):
             else None
         scale = float(_find_text(el, "scale", "1"))
         return lambda v, f=inner, s=scale: s * f(v)
+    if tag == "PiecewiseLinearFunction":
+        x = _vec(_find_text(el, "x"))
+        y = _vec(_find_text(el, "y"))
+        import jax.numpy as jnp
+        return lambda v, xx=x, yy=y: jnp.interp(v, jnp.asarray(xx),
+                                                jnp.asarray(yy))
     raise ValueError(f"unsupported function {tag}")
+
+
+def _parse_spatial_transform(st, coords):
+    """TransformAxis list -> custom_axes tuples (shared by 3.x/4.x)."""
+    axes = []
+    order = ["rotation1", "rotation2", "rotation3",
+             "translation1", "translation2", "translation3"]
+    ax_els = {a.get("name"): a for a in st.findall("TransformAxis")}
+    for axname in order:
+        a = ax_els.get(axname)
+        if a is None:
+            axes.append(((0.0, 0.0, 1.0), None, 0))
+            continue
+        axis = tuple(_vec(_find_text(a, "axis", "0 0 1")))
+        cn_el = a.find("coordinates")
+        cn = (cn_el.text.strip().split()
+              if cn_el is not None and cn_el.text else [])
+        fn = None
+        for child in a:
+            if child.tag in ("LinearFunction", "SimmSpline",
+                            "NaturalCubicSpline", "Constant",
+                            "MultiplierFunction", "PiecewiseLinearFunction"):
+                fn = _parse_function(child)
+                break
+            if child.tag == "function" and len(child):
+                fn = _parse_function(list(child)[0])
+                break
+        if fn is None:
+            axes.append((axis, None, 0))
+            continue
+        ci = coords.index(cn[0]) if cn else 0
+        axes.append((axis, fn, ci))
+    return tuple(axes)
+
+
+def _build_tree_v3(model_el, builder, body_props, coord_info, weld_joints):
+    """OpenSim 3.x: each Body carries its Joint; insert topologically."""
+    bodyset = model_el.find("BodySet")
+    pend = []
+    for b in bodyset.find("objects").findall("Body"):
+        name = b.get("name")
+        if name == "ground":
+            continue
+        jel = b.find("Joint")
+        joint = list(jel)[0] if jel is not None and len(jel) else None
+        pend.append((name, joint))
+    placed = {"ground"}
+    while pend:
+        progressed = False
+        remaining = []
+        for name, joint in pend:
+            parent = _find_text(joint, "parent_body", "ground")
+            if parent not in placed:
+                remaining.append((name, joint))
+                continue
+            progressed = True
+            placed.add(name)
+            mass, com, I = body_props[name]
+            jname = joint.get("name")
+            tree_r = _vec(_find_text(joint, "location_in_parent", "0 0 0"))
+            tree_E = _euler_xyz_to_E(_vec(
+                _find_text(joint, "orientation_in_parent", "0 0 0")))
+            child_r = _vec(_find_text(joint, "location", "0 0 0"))
+            child_E = _euler_xyz_to_E(_vec(
+                _find_text(joint, "orientation", "0 0 0")))
+            coords = []
+            cset = joint.find("CoordinateSet")
+            if cset is not None and cset.find("objects") is not None:
+                for c in cset.find("objects").findall("Coordinate"):
+                    cname = c.get("name")
+                    rng = _vec(_find_text(c, "range", "-10 10"), 2)
+                    dv = float(_find_text(c, "default_value", "0"))
+                    coord_info[cname] = {"range": (rng[0], rng[1]),
+                                         "default": dv, "joint": jname}
+                    coords.append(cname)
+            kwargs = dict(mass=mass, com=com, inertia=I, joint_name=jname,
+                          parent=parent, tree_r=tree_r, tree_E=tree_E,
+                          child_r=child_r, child_E=child_E,
+                          joint_label=jname)
+            if joint.tag == "WeldJoint" or jname in weld_joints or \
+                    not coords:
+                builder.add_body(name, kind="weld", **kwargs)
+            elif joint.tag == "CustomJoint":
+                st = joint.find("SpatialTransform")
+                axes = _parse_spatial_transform(st, coords)
+                builder.add_body(name, kind="custom", coord_names=coords,
+                                 custom_axes=axes, **kwargs)
+            elif joint.tag == "PinJoint":
+                builder.add_body(name, kind="revolute", axis=(0, 0, 1),
+                                 coord_name=coords[0], **kwargs)
+            elif joint.tag == "SliderJoint":
+                builder.add_body(name, kind="prismatic", axis=(1, 0, 0),
+                                 coord_name=coords[0], **kwargs)
+            else:
+                raise NotImplementedError(f"v3 joint {joint.tag}")
+        if not progressed:
+            raise ValueError(f"unresolvable body tree: {remaining}")
+        pend = remaining
 
 
 def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
@@ -121,14 +226,21 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
     builder = MechModelBuilder(gravity=g)
     weld_q = dict(weld_q or {})
 
-    # ---- bodies
+    # ---- bodies (+ attached wrap objects)
     bodyset = model_el.find("BodySet")
     body_props = {}
+    wrap_objects = {}  # name -> dict(body_name, translation, rot, radius, q)
     for b in bodyset.find("objects").findall("Body"):
         name = b.get("name")
         mass = float(_find_text(b, "mass", "0"))
         com = _vec(_find_text(b, "mass_center", "0 0 0"))
-        in6 = _vec(_find_text(b, "inertia", "0 0 0 0 0 0"), 6)
+        # OpenSim <=3.x uses inertia_xx..; 4.x a 6-vector
+        itxt = _find_text(b, "inertia")
+        if itxt is not None:
+            in6 = _vec(itxt, 6)
+        else:
+            in6 = np.array([float(_find_text(b, f"inertia_{c}", "0"))
+                            for c in ("xx", "yy", "zz", "xy", "xz", "yz")])
         if in6.size == 6:
             I = np.array([[in6[0], in6[3], in6[4]],
                           [in6[3], in6[1], in6[5]],
@@ -136,12 +248,33 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
         else:
             I = np.diag(in6[:3])
         body_props[name] = (mass, com, I)
+        wos = b.find("WrapObjectSet")
+        if wos is not None:
+            objs = wos.find("objects")
+            if objs is not None:
+                for w in objs.findall("WrapCylinder"):
+                    wrap_objects[w.get("name")] = {
+                        "body_name": name,
+                        "translation": tuple(_vec(
+                            _find_text(w, "translation", "0 0 0"))),
+                        "xyz_rotation": tuple(_vec(
+                            _find_text(w, "xyz_body_rotation", "0 0 0"))),
+                        "radius": float(_find_text(w, "radius", "0.02")),
+                        "quadrant": _find_text(w, "quadrant", "all"),
+                    }
 
     # ---- joints (define the tree)
     jointset = model_el.find("JointSet")
     coord_info = {}  # coord name -> (range, default, clamped)
     added = set()
-    for j in jointset.find("objects"):
+    if jointset is None:
+        # OpenSim 3.x: joints nested inside bodies
+        _build_tree_v3(model_el, builder, body_props, coord_info,
+                       weld_joints)
+        joint_iter = []
+    else:
+        joint_iter = jointset.find("objects")
+    for j in joint_iter:
         jtag = j.tag
         jname = j.get("name")
         frames = _parse_frames(j)
@@ -165,7 +298,17 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
                 coords.append(cname)
 
         parent = "ground" if parent_body == "ground" else parent_body
-        if jtag == "WeldJoint" or jname in weld_joints:
+        if jtag == "CustomJoint" and jname not in weld_joints:
+            # SpatialTransform: rotation1..3 + translation1..3, each an
+            # axis + function(coordinate)
+            axes = _parse_spatial_transform(j.find("SpatialTransform"),
+                                            coords)
+            builder.add_body(child_body, mass=mass, com=com, inertia=I,
+                             joint_name=jname, kind="custom", parent=parent,
+                             tree_r=p_t, tree_E=p_E, child_r=c_t,
+                             child_E=c_E, coord_names=tuple(coords),
+                             custom_axes=tuple(axes), joint_label=jname)
+        elif jtag == "WeldJoint" or jname in weld_joints:
             builder.add_body(child_body, mass=mass, com=com, inertia=I,
                              joint_name=jname, kind="weld", parent=parent,
                              tree_r=p_t, tree_E=p_E, child_r=c_t, child_E=c_E)
@@ -235,6 +378,7 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
         force_els += list(comps)
 
     muscle_names = []
+    muscle_wraps = {}
     if True:
         for f in force_els:
             tag = f.tag
@@ -274,8 +418,9 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
                 path = []
                 for pp in pps:
                     ptag = pp.tag
-                    pbody = _body_of_socket(
-                        _find_text(pp, "socket_parent_frame", "/ground"))
+                    psock = _find_text(pp, "socket_parent_frame")
+                    pbody = (_body_of_socket(psock) if psock
+                             else _find_text(pp, "body", "ground"))
                     bi = body_idx[pbody]
                     if ptag == "PathPoint":
                         loc = _vec(_find_text(pp, "location", "0 0 0"))
@@ -284,7 +429,9 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
                         loc = _vec(_find_text(pp, "location", "0 0 0"))
                         rng = _vec(_find_text(pp, "range", "-10 10"), 2)
                         csock = _find_text(pp, "socket_coordinate")
-                        ci = coord_index(_body_of_socket(csock))
+                        cname = (_body_of_socket(csock) if csock
+                                 else _find_text(pp, "coordinate"))
+                        ci = coord_index(cname)
                         path.append(("conditional", bi, tuple(loc), ci,
                                      rng[0], rng[1]))
                     elif ptag == "MovingPathPoint":
@@ -296,8 +443,11 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
                             fn = _parse_function(list(fel)[0]) \
                                 if fel is not None and len(fel) else None
                             csock = _find_text(pp, f"socket_{ax}_coordinate")
-                            ci = coord_index(_body_of_socket(csock)) \
-                                if csock else None
+                            if csock:
+                                ci = coord_index(_body_of_socket(csock))
+                            else:
+                                cname = _find_text(pp, f"{ax}_coordinate")
+                                ci = coord_index(cname) if cname else None
                             if fn is None or ci is None:
                                 # constant component from the default location
                                 fn = (lambda v, c=float(default_loc[k]):
@@ -311,6 +461,13 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
                                  ignore_activation_dynamics=ignore_act,
                                  ignore_tendon_compliance=ignore_ten)
                 muscle_names.append(name)
+                pws = gp.find("PathWrapSet")
+                if pws is not None and pws.find("objects") is not None:
+                    for pw in pws.find("objects").findall("PathWrap"):
+                        rng = _vec(_find_text(pw, "range", "-1 -1"), 2)
+                        muscle_wraps.setdefault(name, []).append(
+                            (_find_text(pw, "wrap_object"),
+                             (int(rng[0]), int(rng[1]))))
             elif tag == "CoordinateActuator":
                 cname = _find_text(f, "coordinate")
                 gain = float(_find_text(f, "optimal_force", "1"))
@@ -345,6 +502,7 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
                         _find_text(f, "derivative_smoothing", "1e-5")))
 
     # ---- constraints (CoordinateCouplerConstraint)
+    coupler_list = []
     conset = model_el.find("ConstraintSet")
     if conset is not None:
         for c in conset.find("objects"):
@@ -357,6 +515,8 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
             fn = _parse_function(list(fel)[0]) if fel is not None else None
             di = coord_index(dep)
             ii = coord_index(ind[0])
+            coupler_list.append({"name": c.get("name"), "dependent": dep,
+                                 "independent": ind[0], "fn": fn})
 
             def make_phi(di=di, ii=ii, fn=fn):
                 import jax.numpy as jnp
@@ -368,6 +528,121 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
 
             model.add_kinematic_constraint(c.get("name"), make_phi())
 
+    # ---- assign PathWrap cylinders to path segments
+    if muscle_wraps:
+        import jax.numpy as jnp
+
+        from ..models.wrap import WrapCylinderSpec
+
+        model.finalize()
+        q0 = np.zeros(mech.nq)
+        for cn, ci in ((c, mech.coord_names.index(c))
+                       for c in mech.coord_names if c in coord_info):
+            q0[ci] = coord_info[cn]["default"]
+        q0j = jnp.asarray(q0)
+        frames0 = mech.frames(model.default_params()["mech"], q0j)
+        new_muscles = []
+        for mi, ms in enumerate(model.muscles):
+            wraps = muscle_wraps.get(ms.name)
+            if not wraps:
+                new_muscles.append(ms)
+                continue
+            path = list(ms.path)
+            pts0 = [np.asarray(model._path_point_world(
+                frames0, model.default_params(), q0j, pt))
+                for pt in path]
+            for wname, rng in wraps:
+                wo = wrap_objects[wname]
+                spec = WrapCylinderSpec(
+                    wname, body_idx[wo["body_name"]], wo["translation"],
+                    wo["xyz_rotation"], wo["radius"], wo["quadrant"])
+                # wrap-object center in world at the default pose
+                A, o = frames0[spec.body]
+                cw = np.asarray(o) + np.asarray(A).T @ np.asarray(
+                    wo["translation"])
+                # candidate segments (indices between real points)
+                if rng[0] > 0:
+                    seg_candidates = [rng[0] - 1]
+                else:
+                    seg_candidates = list(range(len(pts0) - 1))
+
+                def seg_dist(i):
+                    a, b = pts0[i], pts0[i + 1]
+                    d = b - a
+                    t = np.clip(-(a - cw) @ d / max(d @ d, 1e-16), 0, 1)
+                    return float(np.linalg.norm(a + t * d - cw))
+
+                seg = min(seg_candidates, key=seg_dist)
+                # map the fixed-point segment index into the (possibly
+                # already wrap-augmented) path: count real points
+                real = -1
+                for k, pt in enumerate(path):
+                    if pt[0] != "wrap":
+                        real += 1
+                    if real == seg:
+                        path.insert(k + 1, ("wrap", spec))
+                        break
+            new_muscles.append(dataclasses.replace(ms, path=tuple(path)))
+        model.muscles = new_muscles
+        model.finalize()
+
     info = {"coord_info": coord_info, "muscles": muscle_names,
-            "body_idx": body_idx}
+            "body_idx": body_idx, "wrap_objects": wrap_objects,
+            "couplers": coupler_list}
     return model, info
+
+
+def parse_external_loads(xml_path, base_dir=None, lowpass_hz=None):
+    """Parse an OpenSim ExternalLoads XML + its datafile into specs usable
+    with Model.add_external_force (ModOpAddExternalLoads analogue).
+
+    Returns a list of dicts: {name, body_name, force_fn, point_fn,
+    torque_fn} with time-interpolating jnp closures."""
+    import os
+
+    import jax.numpy as jnp
+
+    from .tables import read_sto
+
+    tree = ET.parse(xml_path)
+    root = tree.getroot()
+    el = root.find("ExternalLoads")
+    datafile = _find_text(el, "datafile")
+    base = base_dir or os.path.dirname(os.path.abspath(xml_path))
+    table = read_sto(os.path.join(base, datafile))
+    if lowpass_hz:
+        from .processors import filter_lowpass
+        table = filter_lowpass(table, lowpass_hz)
+    times = np.asarray(table.time)
+
+    def interp3(prefix, suffixes=("x", "y", "z")):
+        cols = []
+        for s in suffixes:
+            name = prefix + s
+            if name not in table.column_names:
+                return None
+            cols.append(np.asarray(table.column(name)))
+        data = np.stack(cols, axis=1)
+        tj = jnp.asarray(times)
+        dj = jnp.asarray(data)
+
+        def fn(t, tj=tj, dj=dj):
+            return jnp.stack([jnp.interp(t, tj, dj[:, k])
+                              for k in range(3)])
+
+        return fn
+
+    out = []
+    for f in el.find("objects").findall("ExternalForce"):
+        body = _find_text(f, "applied_to_body")
+        fid = _find_text(f, "force_identifier")
+        pid = _find_text(f, "point_identifier")
+        tid = _find_text(f, "torque_identifier")
+        out.append({
+            "name": f.get("name"),
+            "body_name": body,
+            "force_fn": interp3(fid),
+            "point_fn": interp3(pid),
+            "torque_fn": interp3(tid) if tid else None,
+        })
+    return out
