@@ -413,6 +413,62 @@ class MechModel:
         b = self.bias_forces(p, q, u)
         return jnp.linalg.solve(M, tau_applied - b)
 
+    def joint_reaction_wrenches(self, p, q, u, udot,
+                                body_wrenches_world=None):
+        """Spatial reaction each joint transmits to its child body.
+
+        Returns (nb, 6) rows of [moment; force] expressed in ground, with
+        the moment taken about the joint's child-frame origin — the quantity
+        Simbody's calcReactionOnChildExpressedInGround reports and the
+        reference's MocoJointReactionGoal consumes
+        (MocoJointReactionGoal.cpp:117-154). Computed by the RNEA backward
+        pass: the force transmitted across joint i balances the Newton-Euler
+        dynamics of the subtree rooted at body i, minus applied body
+        wrenches (``body_wrenches_world``: (nb, 6) world wrenches at body
+        origins). Gravity enters via the fictitious base acceleration, so
+        reactions include gravity loads automatically.
+        """
+        dtype = q.dtype
+        g = p["gravity"].astype(dtype)
+        a_base = jnp.concatenate([jnp.zeros(3, dtype=dtype), -g])
+        frames = self.frames(p, q)
+        v = [None] * self.nb
+        a = [None] * self.nb
+        f = [None] * self.nb
+        Xups = [None] * self.nb
+        for i in range(self.nb):
+            Xup, S, vJ, aJ, idxs = self._body_motion(i, p, q, u, udot)
+            Xups[i] = Xup
+            pa = self.parents[i]
+            v_p = jnp.zeros(6, dtype=dtype) if pa == GROUND else v[pa]
+            a_p = a_base if pa == GROUND else a[pa]
+            v[i] = Xup @ v_p + vJ
+            a[i] = Xup @ a_p + aJ + crm(v[i]) @ vJ
+            I = spatial_inertia(p["mass"][i].astype(dtype),
+                                p["com"][i].astype(dtype),
+                                p["inertia"][i].astype(dtype))
+            f[i] = I @ a[i] + crf(v[i]) @ (I @ v[i])
+            if body_wrenches_world is not None:
+                A, o = frames[i]
+                n_b = A @ body_wrenches_world[i, :3]
+                f_b = A @ body_wrenches_world[i, 3:]
+                f[i] = f[i] - jnp.concatenate([n_b, f_b])
+        for i in reversed(range(self.nb)):
+            pa = self.parents[i]
+            if pa != GROUND:
+                f[pa] = f[pa] + Xups[i].T @ f[i]
+        out = []
+        for i in range(self.nb):
+            A, o = frames[i]
+            n_w = A.T @ f[i][:3]
+            fl_w = A.T @ f[i][3:]
+            # shift moment from the body origin to the joint's child-frame
+            # origin: m_X = m_O - (X - O) x F, X - O = A^T child_r
+            r_w = A.T @ jnp.asarray(self._child_r[i], dtype=dtype)
+            n_w = n_w - jnp.cross(r_w, fl_w)
+            out.append(jnp.concatenate([n_w, fl_w]))
+        return jnp.stack(out)
+
 
 class MechModelBuilder:
     """Imperative builder mirroring how reference models are assembled

@@ -125,8 +125,12 @@ def smooth_sphere_halfspace_force(cp_pos, cp_vel, spec: SphereContactSpec):
 @dataclasses.dataclass(frozen=True)
 class StationContactSpec:
     """Smooth station-vs-ground-plane contact
-    (reference Components/StationPlaneContactForce.h:98-131,
-    AckermannVanDenBogert2010Force)."""
+    (reference Components/StationPlaneContactForce.h:77-313).
+    ``model`` selects the force law: "ackermann"
+    (AckermannVanDenBogert2010Force, h:77-131, cubic spring; default),
+    "meyer" (MeyerFregly2016Force, h:145-219, log-cosh spring; uses
+    ``tscale``), or "esposito" (EspositoMiller2018Force, h:221-305,
+    smoothed quadratic; uses ``depth_offset``)."""
     name: str
     body: int
     location: tuple
@@ -134,6 +138,9 @@ class StationContactSpec:
     dissipation: float = 1.0
     friction_coefficient: float = 1.0
     tangent_velocity_scaling: float = 0.05
+    model: str = "ackermann"
+    tscale: float = 1.0
+    depth_offset: float = 0.001
 
 
 def avdb_contact_force(pos, vel, stiffness, dissipation, friction_coefficient,
@@ -154,6 +161,63 @@ def avdb_contact_force(pos, vel, stiffness, dissipation, friction_coefficient,
     transition = jnp.tanh(vel[0] / tangent_velocity_scaling / 2.0)
     fx = -transition * friction_coefficient * fy
     return jnp.stack([fx, fy, jnp.zeros_like(fx)])
+
+
+def meyer_fregly_contact_force(pos, vel, stiffness, dissipation, tscale):
+    """MeyerFregly2016 smooth contact (StationPlaneContactForce.h:145-219):
+    log-cosh spring blending a tiny out-of-contact stiffness ``klow`` into
+    the in-contact stiffness, times a Hunt-Crossley dissipation factor;
+    tanh friction with mu_d = 1, latch velocity 0.05 m/s."""
+    y = pos[1]
+    depth_rate = -vel[1]
+    klow = 1e-1 / (tscale * tscale)
+    h = 1e-3
+    c = 5e-4
+    ymax = 1e-2
+    vp = (stiffness + klow) / (stiffness - klow)
+    sp = (stiffness - klow) / 2.0
+    # log(cosh(x)) overflows float for |x| >~ 350; use |x| - log 2 tail
+    xo = (y + h) / c
+    log_cosh = jnp.where(jnp.abs(xo) > 30.0, jnp.abs(xo) - np.log(2.0),
+                         jnp.log(jnp.cosh(jnp.clip(xo, -30.0, 30.0))))
+    constant = -sp * (vp * ymax - c * np.log(np.cosh((ymax + h) / c)))
+    f_spring = -sp * (vp * y - c * log_cosh) - constant
+    fy = f_spring * (1.0 + dissipation * depth_rate)
+    mu = jnp.tanh(vel[0] / 0.05 / 2.0)
+    fx = -fy * mu
+    return jnp.stack([fx, fy, jnp.zeros_like(fx)])
+
+
+def esposito_miller_contact_force(pos, vel, stiffness, dissipation,
+                                  friction_coefficient,
+                                  tangent_velocity_scaling, depth_offset):
+    """EspositoMiller2018 smooth contact (StationPlaneContactForce.h:221-305):
+    dy = (sqrt(depth^2 + offset^2) + depth)/2 smoothly gates the quadratic
+    spring; Hunt-Crossley dissipation; tanh friction."""
+    depth = -pos[1]
+    depth_rate = -vel[1]
+    dy = 0.5 * (jnp.sqrt(depth ** 2 + depth_offset ** 2) + depth)
+    void_stiffness = 1.0
+    fy = stiffness * dy ** 2 * (1.0 + dissipation * depth_rate) + \
+        void_stiffness * depth
+    transition = jnp.tanh(vel[0] / tangent_velocity_scaling)
+    fx = -transition * friction_coefficient * fy
+    return jnp.stack([fx, fy, jnp.zeros_like(fx)])
+
+
+def station_contact_force(pos, vel, spec: StationContactSpec, stiffness,
+                          dissipation, friction_coefficient):
+    """Dispatch on the (static) contact model of a StationContactSpec."""
+    if spec.model == "meyer":
+        return meyer_fregly_contact_force(pos, vel, stiffness, dissipation,
+                                          spec.tscale)
+    if spec.model == "esposito":
+        return esposito_miller_contact_force(
+            pos, vel, stiffness, dissipation, friction_coefficient,
+            spec.tangent_velocity_scaling, spec.depth_offset)
+    return avdb_contact_force(pos, vel, stiffness, dissipation,
+                              friction_coefficient,
+                              spec.tangent_velocity_scaling)
 
 
 class Model:
@@ -629,10 +693,9 @@ class Model:
             cp = p["contact"]
             for j, c in enumerate(self.contacts):
                 k = nsp + j
-                P_cot = P_cot.at[k].set(avdb_contact_force(
-                    P[k], Pdot[k], cp["stiffness"][j], cp["dissipation"][j],
-                    cp["friction_coefficient"][j],
-                    c.tangent_velocity_scaling))
+                P_cot = P_cot.at[k].set(station_contact_force(
+                    P[k], Pdot[k], c, cp["stiffness"][j],
+                    cp["dissipation"][j], cp["friction_coefficient"][j]))
         for j, ef in enumerate(self.external_forces):
             P_cot = P_cot.at[nsp + nsc + j].set(
                 jnp.asarray(ef["force_fn"](t), dtype=dtype))
@@ -653,6 +716,127 @@ class Model:
 
             tau = tau + jax.grad(omega_dot_T)(u)
         return tau
+
+    # ------------------------------------------------------ contact/reaction
+    def contact_forces(self, p, t, q, u):
+        """World-frame force (3,) applied to the body by each contact
+        component, keyed by contact name (the per-component force record the
+        reference exposes through Force::getRecordValues and consumes in
+        MocoContactTrackingGoal.cpp:250-259)."""
+        dtype = q.dtype
+        frames = self.mech.frames(p["mech"], q)
+        out = {}
+
+        def point_vel(body, loc_local):
+            pos = lambda qq: (lambda fr: fr[body][1] + fr[body][0].T @
+                              loc_local)(self.mech.frames(p["mech"], qq))
+            return jax.jvp(pos, (q,), (u,))
+
+        for spec in self.sphere_contacts:
+            A, o = frames[spec.body]
+            center_w = o + A.T @ jnp.asarray(spec.location, dtype=dtype)
+            cp_w = center_w - jnp.asarray([0.0, spec.radius, 0.0],
+                                          dtype=dtype)
+            loc = jax.lax.stop_gradient(A @ (cp_w - o))
+            pos, vel = point_vel(spec.body, loc)
+            out[spec.name] = smooth_sphere_halfspace_force(pos, vel, spec)
+        cp = p.get("contact")
+        for j, c in enumerate(self.contacts):
+            pos, vel = point_vel(c.body, jnp.asarray(c.location, dtype=dtype))
+            out[c.name] = station_contact_force(
+                pos, vel, c, cp["stiffness"][j], cp["dissipation"][j],
+                cp["friction_coefficient"][j])
+        return out
+
+    def applied_body_wrenches(self, p, t, q, u, z, x):
+        """(nb, 6) world wrenches [moment; force] at body origins.
+
+        Includes contact forces, external loads (force at moving point +
+        torque), and muscle path tensions applied at the path points of each
+        straight segment (conditional points weighted by their activity).
+        Wrap-cylinder reaction forces are not included (the straight chord
+        between the points bracketing a wrap carries the tension).
+        Coordinate actuators and generalized springs are mobility forces and
+        do not produce body wrenches; they are transmitted through joints
+        and therefore appear in joint reactions automatically.
+        """
+        dtype = q.dtype
+        frames = self.mech.frames(p["mech"], q)
+        W = jnp.zeros((self.mech.nb, 6), dtype=dtype)
+
+        def add_point_force(W, body, pt_w, f_w):
+            if body == GROUND:
+                return W
+            A, o = frames[body]
+            return W.at[body, :3].add(jnp.cross(pt_w - o, f_w)) \
+                    .at[body, 3:].add(f_w)
+
+        # contacts
+        cf = self.contact_forces(p, t, q, u)
+        for spec in self.sphere_contacts:
+            A, o = frames[spec.body]
+            center_w = o + A.T @ jnp.asarray(spec.location, dtype=dtype)
+            cp_w = center_w - jnp.asarray([0.0, spec.radius, 0.0],
+                                          dtype=dtype)
+            W = add_point_force(W, spec.body, cp_w, cf[spec.name])
+        for c in self.contacts:
+            A, o = frames[c.body]
+            pt_w = o + A.T @ jnp.asarray(c.location, dtype=dtype)
+            W = add_point_force(W, c.body, pt_w, cf[c.name])
+        # external loads
+        for ef in self.external_forces:
+            pt_w = jnp.asarray(ef["point_fn"](t), dtype=dtype)
+            f_w = jnp.asarray(ef["force_fn"](t), dtype=dtype)
+            W = add_point_force(W, ef["body"], pt_w, f_w)
+            if ef["torque_fn"] is not None:
+                W = W.at[ef["body"], :3].add(
+                    jnp.asarray(ef["torque_fn"](t), dtype=dtype))
+        # muscle path forces
+        if self.muscles:
+            lMT, vMT = self.muscle_path_kinematics(p, q, u)
+            exc, act, ft = self._muscle_vec_state(z, x)
+            F = self._muscle_forces_vec(p, act, ft, lMT, vMT)
+            for mi, mspec in enumerate(self.muscles):
+                pts = []  # (body, world point, activity weight)
+                for pt in mspec.path:
+                    if pt[0] == "wrap":
+                        continue
+                    w_act = None
+                    if pt[0] == "conditional":
+                        ci, lo, hi = pt[3], pt[4], pt[5]
+                        w_act = jnp.where((q[ci] >= lo) & (q[ci] <= hi),
+                                          1.0, 0.0).astype(dtype)
+                    pts.append((pt[1],
+                                self._path_point_world(frames, p, q, pt),
+                                w_act))
+                for k, (body, pw, w_act) in enumerate(pts):
+                    f_w = jnp.zeros(3, dtype=dtype)
+                    if k > 0:
+                        prev = pts[k - 1][1]
+                        d = prev - pw
+                        f_w = f_w + F[mi] * d / jnp.linalg.norm(d + 1e-30)
+                    if k < len(pts) - 1:
+                        nxt = pts[k + 1][1]
+                        d = nxt - pw
+                        f_w = f_w + F[mi] * d / jnp.linalg.norm(d + 1e-30)
+                    if w_act is not None:
+                        f_w = f_w * w_act
+                    W = add_point_force(W, body, pw, f_w)
+        return W
+
+    def joint_reaction(self, p, t, q, u, z, x, lam, udot=None):
+        """(nb, 6) reaction wrench of every joint on its child body,
+        expressed in ground about the joint's child-frame origin
+        (MocoJointReactionGoal semantics). ``udot`` defaults to explicit
+        forward dynamics at this point."""
+        if udot is None:
+            udot = self.multibody_explicit(p, t, q, u, z, x, lam)
+        W = self.applied_body_wrenches(p, t, q, u, z, x)
+        # Constraint forces -G^T lam enter as generalized (mobility) forces.
+        # For coordinate couplers -- the constraint type in the shipped gait
+        # models -- that is exact; loop-closure constraints whose physical
+        # forces act at body stations would need explicit wrench terms.
+        return self.mech.joint_reaction_wrenches(p["mech"], q, u, udot, W)
 
     # ------------------------------------------------------ kinematic cons
     def phi(self, p, q):

@@ -21,6 +21,7 @@ formulation.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -308,3 +309,52 @@ def implicit_tendon_residual(p, activation, norm_tendon_force,
 def tendon_force_from_state(p, norm_tendon_force):
     """Path force (N) applied by a compliant-tendon muscle."""
     return p["max_isometric_force"] * norm_tendon_force
+
+
+def linearized_equilibrium_residual_derivative(
+        p, activation, norm_tendon_force, d_norm_tendon_force, lMT, vMT,
+        ignore_passive_fiber_force=False):
+    """Time derivative of the linearized muscle-tendon equilibrium
+    (Millard et al. 2013 eq. A6; reference
+    DeGrooteFregly2016Muscle.h:644-654):
+
+        residual = k_fiber_AT * v_fiber_AT - k_tendon * (vMT - v_fiber_AT)
+
+    with fiber velocity along the tendon derived from the supplied
+    normalized-tendon-force derivative (implicit tendon dynamics), the
+    tendon stiffness from the exponential tendon curve, and the fiber
+    stiffness along the tendon by autodiff of fiberForceAlongTendon w.r.t.
+    fiber length along the tendon (force-velocity multiplier held fixed,
+    as in the reference's MuscleDynamicsInfo stiffness). Elementwise over
+    muscles. Backs MocoInitialVelocityEquilibriumDGFGoal.
+    """
+    kT = tendon_kT(p["tendon_strain_at_one_norm_force"])
+    (norm_tendon_length, fiber_length, norm_fiber_length, cos_pen,
+     sin_pen) = compliant_tendon_state(p, norm_tendon_force, lMT)
+    norm_tendon_velocity = tendon_force_length_inverse_derivative(
+        d_norm_tendon_force, norm_tendon_length, kT)
+    tendon_velocity = p["tendon_slack_length"] * norm_tendon_velocity
+    fiber_vel_at = vMT - tendon_velocity
+    fiber_velocity = fiber_vel_at * cos_pen
+    norm_fiber_velocity = fiber_velocity / (
+        p["max_contraction_velocity"] * p["optimal_fiber_length"])
+    fv = force_velocity(norm_fiber_velocity)
+    fmax = p["max_isometric_force"]
+
+    def fiber_force_at(fiber_len_at):
+        fl, nfl, cp_, sp_ = _fiber_geometry(p, fiber_len_at)
+        fl_act = active_force_length(nfl, p["active_force_width_scale"])
+        fl_pas = passive_force_length(
+            nfl, p["passive_fiber_strain_at_one_norm_force"],
+            ignore=ignore_passive_fiber_force)
+        ff = fmax * (activation * fl_act * fv + fl_pas +
+                     p["fiber_damping"] * norm_fiber_velocity)
+        return jnp.sum(ff * cp_)
+
+    tendon_length = p["tendon_slack_length"] * norm_tendon_length
+    fiber_len_at = lMT - tendon_length
+    k_fiber_at = jax.grad(fiber_force_at)(fiber_len_at)
+    # tendon stiffness dF_T/dl_T (N/m)
+    k_tendon = fmax * tendon_force_multiplier_derivative(
+        norm_tendon_length, kT) / p["tendon_slack_length"]
+    return k_fiber_at * fiber_vel_at - k_tendon * (vMT - fiber_vel_at)

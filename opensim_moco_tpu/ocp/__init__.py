@@ -1,9 +1,11 @@
-from .goals import (AngularVelocityTrackingGoal, AverageSpeedGoal,
-                    ControlGoal, ControlTrackingGoal, CustomGoal,
-                    FinalTimeGoal, Goal, InitialActivationGoal,
-                    InitialForceEquilibriumGoal, MarkerFinalGoal,
-                    MarkerTrackingGoal, OrientationTrackingGoal, OutputGoal,
-                    PeriodicityGoal, StateTrackingGoal, SumSquaredStateGoal,
+from .goals import (AccelerationTrackingGoal, AngularVelocityTrackingGoal,
+                    AverageSpeedGoal, ContactTrackingGoal, ControlGoal,
+                    ControlTrackingGoal, CustomGoal, FinalTimeGoal, Goal,
+                    InitialActivationGoal, InitialForceEquilibriumGoal,
+                    InitialVelocityEquilibriumDGFGoal, JointReactionGoal,
+                    MarkerFinalGoal, MarkerTrackingGoal,
+                    OrientationTrackingGoal, OutputGoal, PeriodicityGoal,
+                    StateTrackingGoal, SumSquaredStateGoal,
                     TranslationTrackingGoal)
 from .path_constraints import (control_bound_constraint,
                                frame_distance_constraint)
@@ -17,7 +19,9 @@ __all__ = [
     "InitialActivationGoal", "AverageSpeedGoal", "CustomGoal",
     "MarkerTrackingGoal", "ControlTrackingGoal", "TranslationTrackingGoal",
     "OrientationTrackingGoal", "AngularVelocityTrackingGoal", "OutputGoal",
-    "InitialForceEquilibriumGoal",
+    "InitialForceEquilibriumGoal", "ContactTrackingGoal",
+    "AccelerationTrackingGoal", "JointReactionGoal",
+    "InitialVelocityEquilibriumDGFGoal",
     "control_bound_constraint", "frame_distance_constraint",
     "Problem", "ProblemRep", "VariableInfo", "PathConstraintSpec",
     "ParameterSpec", "Study",

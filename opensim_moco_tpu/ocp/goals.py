@@ -393,14 +393,177 @@ class OutputGoal(Goal):
 
 
 @dataclasses.dataclass
+class ContactTrackingGoal(Goal):
+    """Track external-load GRFs with groups of contact-force components
+    (reference MocoContactTrackingGoal.cpp:240-304). ``groups`` is a tuple
+    of (contact_names, ref_key); ``reference`` maps ref_key ->
+    (times (K,), forces (K, 3)) in ground. The squared error is normalized
+    by total model weight (m * |g|) like the reference
+    (MocoContactTrackingGoal.cpp:76-82) and optionally projected onto a
+    vector or a plane (``projection``: none|vector|plane)."""
+    name: str = "contact_tracking"
+    groups: tuple = ()
+    reference: dict = dataclasses.field(default_factory=dict)
+    projection: str = "none"
+    projection_vector: tuple = (0.0, 1.0, 0.0)
+
+    def integrand(self, rep, t, y, x, lam, p):
+        m = rep.model
+        q = y[:m.nq]
+        u = y[m.nq:2 * m.nq]
+        forces = m.contact_forces(p, t, q, u)
+        denom = jnp.sum(p["mech"]["mass"]) * \
+            jnp.linalg.norm(p["mech"]["gravity"])
+        total = jnp.zeros((), dtype=t.dtype)
+        for names, ref_key in self.groups:
+            f_model = jnp.zeros(3, dtype=t.dtype)
+            for n in names:
+                f_model = f_model + forces[n]
+            times, vals = self.reference[ref_key]
+            times = jnp.asarray(times, dtype=t.dtype)
+            f_ref = jnp.stack([
+                jnp.interp(t, times, jnp.asarray(vals[:, k], dtype=t.dtype))
+                for k in range(3)])
+            err = f_model - f_ref
+            if self.projection == "vector":
+                v = jnp.asarray(self.projection_vector, dtype=t.dtype)
+                v = v / jnp.linalg.norm(v)
+                err = jnp.dot(err, v) * v
+            elif self.projection == "plane":
+                v = jnp.asarray(self.projection_vector, dtype=t.dtype)
+                v = v / jnp.linalg.norm(v)
+                err = err - jnp.dot(err, v) * v
+            total = total + jnp.sum(err * err)
+        return total / denom
+
+
+@dataclasses.dataclass
+class AccelerationTrackingGoal(Goal):
+    """Track body-origin linear accelerations in ground (reference
+    MocoAccelerationTrackingGoal). ``reference``: body index ->
+    (times, accels (K, 3)). ``gravity_offset`` adds -g to the model
+    acceleration to mimic IMU accelerometer signals. Accelerations are
+    computed from explicit forward dynamics at each grid point (consistent
+    with the implicit-mode acceleration variables at convergence)."""
+    name: str = "acceleration_tracking"
+    reference: dict = dataclasses.field(default_factory=dict)
+    gravity_offset: bool = False
+
+    def integrand(self, rep, t, y, x, lam, p):
+        import jax
+
+        m = rep.model
+        q = y[:m.nq]
+        u = y[m.nq:2 * m.nq]
+        z = y[2 * m.nq:]
+        udot = m.multibody_explicit(p, t, q, u, z, x, lam)
+        total = jnp.zeros((), dtype=t.dtype)
+        for body, (times, accs) in self.reference.items():
+            def vel(qq, uu, b=body):
+                pos = lambda q_: m.mech.frames(p["mech"], q_)[b][1]
+                return jax.jvp(pos, (qq,), (uu,))[1]
+
+            _, acc = jax.jvp(vel, (q, u), (u, udot))
+            if self.gravity_offset:
+                acc = acc - p["mech"]["gravity"].astype(t.dtype)
+            times = jnp.asarray(times, dtype=t.dtype)
+            ref = jnp.stack([
+                jnp.interp(t, times, jnp.asarray(accs[:, k], dtype=t.dtype))
+                for k in range(3)])
+            total = total + jnp.sum((acc - ref) ** 2)
+        return total
+
+
+@dataclasses.dataclass
+class JointReactionGoal(Goal):
+    """Minimize joint reaction loads (reference
+    MocoJointReactionGoal.cpp:117-154): integrand = sum_i w_i r_i^2 over
+    the selected reaction measures of one joint, expressed in ground.
+    ``joint`` is the child body index; ``measures`` selects components from
+    ("moment-x","moment-y","moment-z","force-x","force-y","force-z")."""
+    name: str = "joint_reaction"
+    joint: int = 0
+    measures: tuple = ("moment-x", "moment-y", "moment-z",
+                       "force-x", "force-y", "force-z")
+    measure_weights: dict = dataclasses.field(default_factory=dict)
+
+    _IDX = {"moment-x": 0, "moment-y": 1, "moment-z": 2,
+            "force-x": 3, "force-y": 4, "force-z": 5}
+
+    def integrand(self, rep, t, y, x, lam, p):
+        m = rep.model
+        q = y[:m.nq]
+        u = y[m.nq:2 * m.nq]
+        z = y[2 * m.nq:]
+        reac = m.joint_reaction(p, t, q, u, z, x, lam)[self.joint]
+        total = jnp.zeros((), dtype=t.dtype)
+        for meas in self.measures:
+            w = self.measure_weights.get(meas, 1.0)
+            total = total + w * reac[self._IDX[meas]] ** 2
+        return total
+
+
+@dataclasses.dataclass
+class InitialVelocityEquilibriumDGFGoal(Goal):
+    """Velocity-level DGF muscle-tendon equilibrium at the initial time
+    (reference MocoInitialVelocityEquilibriumDGFGoal.cpp:23-55): per
+    compliant-tendon muscle, the derivative of the linearized equilibrium
+    residual, as an endpoint constraint (or sum of squares in cost mode).
+    Requires implicit tendon dynamics (reads the initial tendon-force
+    derivative variables from the iterate)."""
+    name: str = "initial_velocity_equilibrium"
+    mode: str = "endpoint_constraint"
+
+    def auto_outputs(self, rep):
+        return sum(1 for m in rep.model.muscles
+                   if not m.ignore_tendon_compliance)
+
+    def _residuals(self, rep, initial, p):
+        from ..models import muscle as dgf
+
+        m = rep.model
+        t0, y0, x0 = initial[0], initial[1], initial[2]
+        d0 = initial[4] if len(initial) > 4 else None
+        q, u, z = m.split_state(y0)
+        lMT, vMT = m.muscle_path_kinematics(p, q, u)
+        res = []
+        for mi, mspec in enumerate(m.muscles):
+            if mspec.ignore_tendon_compliance:
+                continue
+            mp = {k: v[mi] for k, v in p["muscles"].items()}
+            act, ft = m.muscle_state(z, x0, mi)
+            dft = jnp.zeros((), dtype=y0.dtype)
+            if mspec.tendon_dynamics_implicit and d0 is not None \
+                    and d0.shape[0]:
+                # derivative block layout: [udot (implicit mb) | zeta];
+                # zeta always occupies the tail
+                didx = int(m._mv["imp_didx"][mi])
+                zeta0 = d0[d0.shape[0] - m.n_implicit_aux:]
+                dft = zeta0[didx]
+            r = dgf.linearized_equilibrium_residual_derivative(
+                mp, act, ft, dft, lMT[mi], vMT[mi],
+                mspec.ignore_passive_fiber_force)
+            res.append(r / mp["max_isometric_force"])
+        return jnp.stack(res) if res else jnp.zeros(0, dtype=y0.dtype)
+
+    def values(self, rep, initial, final, p):
+        return self._residuals(rep, initial, p)
+
+    def value(self, rep, initial, final, integral, p):
+        r = self._residuals(rep, initial, p)
+        return jnp.sum(r * r)
+
+
+@dataclasses.dataclass
 class InitialForceEquilibriumGoal(Goal):
     """Muscle-tendon force equilibrium at the initial time for
     compliant-tendon muscles (reference MocoInitialForceEquilibriumGoal),
     usable in cost or endpoint-constraint mode."""
     name: str = "initial_force_equilibrium"
 
-    def __post_init__(self):
-        self.num_outputs = 1  # resolved at evaluation
+    def auto_outputs(self, rep):
+        return sum(1 for m in rep.model.muscles
+                   if not m.ignore_tendon_compliance)
 
     def _residuals(self, rep, initial, p):
         from ..models import muscle as dgf

@@ -136,6 +136,9 @@ class Transcription:
         self.n_pc_slack = len(self.pc_slack_specs) * self.n_pc_points
 
         # endpoint-constraint goals
+        for g in rep.goals:
+            if hasattr(g, "auto_outputs"):
+                g.num_outputs = g.auto_outputs(rep)
         self.ec_goals = [g for g in rep.goals
                          if g.mode == "endpoint_constraint"]
         self.cost_goals = [g for g in rep.goals if g.mode == "cost"]
@@ -415,12 +418,14 @@ class Transcription:
                             out.append(col - sl)
                             spos += 1
 
-            # --- endpoint-constraint goals
+            # --- endpoint-constraint goals (tuples: t, y, x, lam, deriv)
             if self.ec_goals:
                 initial = (ts[0], Y[0], X[0],
-                           L[0] if self.nlam else jnp.zeros(0, z.dtype))
+                           L[0] if self.nlam else jnp.zeros(0, z.dtype),
+                           D[0])
                 final = (ts[-1], Y[-1], X[-1],
-                         L[-1] if self.nlam else jnp.zeros(0, z.dtype))
+                         L[-1] if self.nlam else jnp.zeros(0, z.dtype),
+                         D[-1])
                 spos = 0
                 for gi, g in enumerate(self.ec_goals):
                     vals = g.values(rep, initial, final, p)
@@ -448,9 +453,9 @@ class Transcription:
             w = (tf - t0) * jnp.asarray(self.quad_w, dtype=z.dtype)
             total = jnp.zeros((), dtype=z.dtype)
             initial = (ts[0], Y[0], X[0],
-                       L[0] if self.nlam else jnp.zeros(0, z.dtype))
+                       L[0] if self.nlam else jnp.zeros(0, z.dtype), D[0])
             final = (ts[-1], Y[-1], X[-1],
-                     L[-1] if self.nlam else jnp.zeros(0, z.dtype))
+                     L[-1] if self.nlam else jnp.zeros(0, z.dtype), D[-1])
             for g in self.cost_goals:
                 integrand = jax.vmap(
                     lambda t, y, x, lam: g.integrand(rep, t, y, x, lam, p))(
@@ -524,9 +529,9 @@ class Transcription:
         ts = self._grid_times(t0, tf)
         w = (tf - t0) * jnp.asarray(self.quad_w, dtype=z.dtype)
         initial = (ts[0], Y[0], X[0],
-                   L[0] if self.nlam else jnp.zeros(0, z.dtype))
+                   L[0] if self.nlam else jnp.zeros(0, z.dtype), D[0])
         final = (ts[-1], Y[-1], X[-1],
-                 L[-1] if self.nlam else jnp.zeros(0, z.dtype))
+                 L[-1] if self.nlam else jnp.zeros(0, z.dtype), D[-1])
         out = {}
         for g in self.cost_goals:
             integrand = jax.vmap(

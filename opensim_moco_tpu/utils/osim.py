@@ -217,6 +217,7 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
     coordinate values (ModOpReplaceJointsWithWelds analogue).
     Returns (model, info) where info carries name maps.
     """
+    source_path = path  # `path` is reused for muscle paths below
     tree = ET.parse(path)
     root = tree.getroot()
     model_el = root.find("Model")
@@ -589,6 +590,9 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
     info = {"coord_info": coord_info, "muscles": muscle_names,
             "body_idx": body_idx, "wrap_objects": wrap_objects,
             "couplers": coupler_list}
+    # provenance for tree-structure ModOps (ModOpReplaceJointsWithWelds)
+    model._source = {"path": source_path, "gravity": gravity,
+                     "weld_joints": tuple(weld_joints), "weld_q": weld_q}
     return model, info
 
 

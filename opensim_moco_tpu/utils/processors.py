@@ -152,6 +152,109 @@ def ModOpScaleMaxIsometricForce(factor):
     return op
 
 
+def ModOpReplaceMusclesWithDeGrooteFregly2016():
+    """Identity in this framework: every muscle is natively a
+    DeGrooteFregly2016 muscle (reference ModOpReplaceMusclesWithDGF,
+    ModelOperators.h:143; DeGrooteFregly2016Muscle::replaceMuscles). The
+    .osim parser already maps Thelen2003/Millard2012 parameter sets onto
+    DGF parameters when reading foreign models."""
+    return lambda model: model
+
+
+def ModOpRemoveMuscles():
+    """Remove all muscles (reference ModOpRemoveMuscles,
+    ModelOperators.h:301)."""
+
+    def op(model):
+        model.muscles = []
+        model._muscle_params = []
+        return model
+
+    return op
+
+
+def ModOpFiberDampingDGF(damping):
+    """Set fiber damping on all DGF muscles (reference ModOpFiberDampingDGF,
+    ModelOperators.h:236)."""
+
+    def op(model):
+        for mp in model._muscle_params:
+            mp["fiber_damping"] = mp["fiber_damping"] * 0.0 + damping
+        return model
+
+    return op
+
+
+def ModOpScaleActiveFiberForceCurveWidthDGF(scale):
+    """Scale the active force-length curve width (reference
+    ModOpScaleActiveFiberForceCurveWidthDGF, ModelOperators.h:246)."""
+
+    def op(model):
+        for mp in model._muscle_params:
+            mp["active_force_width_scale"] = \
+                mp["active_force_width_scale"] * scale
+        return model
+
+    return op
+
+
+def ModOpPassiveFiberStrainAtOneNormForceDGF(strain):
+    """Set passive fiber strain at one norm force (reference
+    ModOpPassiveFiberStrainAtOneNormForceDGF, ModelOperators.h:256)."""
+
+    def op(model):
+        for mp in model._muscle_params:
+            mp["passive_fiber_strain_at_one_norm_force"] = \
+                mp["passive_fiber_strain_at_one_norm_force"] * 0.0 + strain
+        return model
+
+    return op
+
+
+def ModOpAddExternalLoads(xml_path):
+    """Apply measured external loads from an OpenSim ExternalLoads XML
+    (reference ModOpAddExternalLoads, ModelOperators.h:326)."""
+
+    def op(model):
+        from .osim import parse_external_loads
+
+        body_idx = {b.name: i for i, b in enumerate(model.mech.bodies)}
+        for s in parse_external_loads(xml_path):
+            model.add_external_force(s["name"], body_idx[s["body_name"]],
+                                     s["force_fn"], s["point_fn"],
+                                     s["torque_fn"])
+        return model
+
+    return op
+
+
+def ModOpReplaceJointsWithWelds(joint_names):
+    """Weld the named joints (reference ModOpReplaceJointsWithWelds,
+    ModelOperators.h:318; ModelFactory::replaceJointWithWeldJoint).
+
+    Welding changes the kinematic tree, so the model is re-parsed from its
+    source .osim with the additional welds; apply this op before ops that
+    mutate muscles/forces (the reference's tools use it first as well,
+    e.g. testMocoInverse.cpp:123)."""
+
+    def op(model):
+        from .osim import parse_osim
+
+        src = getattr(model, "_source", None)
+        if src is None:
+            raise ValueError(
+                "ModOpReplaceJointsWithWelds requires a model parsed from "
+                "an .osim file (kinematic-tree changes re-parse the source);"
+                " pass weld_joints= to parse_osim for built models")
+        new_model, _ = parse_osim(
+            src["path"], gravity=src.get("gravity"),
+            weld_joints=tuple(src.get("weld_joints", ())) +
+            tuple(joint_names), weld_q=src.get("weld_q"))
+        return new_model
+
+    return op
+
+
 class ModelProcessor:
     """model | op | op ... (reference ModelProcessor.h:47-159)."""
 

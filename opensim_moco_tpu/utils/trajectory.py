@@ -76,6 +76,80 @@ class Trajectory:
         err = np.stack([a.state(n) - b.state(n) for n in names])
         return float(np.sqrt(np.mean(err ** 2)))
 
+    def randomize_add(self, scale=0.1, seed=0):
+        """Add uniform noise in [-scale, scale] to states and controls
+        (reference MocoTrajectory::randomizeAdd, MocoTrajectory.h:310:
+        perturbs an iterate to probe local minima / build guess batches)."""
+        rng = np.random.default_rng(seed)
+
+        def noisy(a):
+            if a is None or a.size == 0:
+                return a
+            return a + rng.uniform(-scale, scale, size=a.shape)
+
+        return dataclasses.replace(self, states=noisy(self.states),
+                                   controls=noisy(self.controls))
+
+    def generate_speeds_from_values(self):
+        """Overwrite each '<coord>/speed' column with the spline derivative
+        of its '<coord>/value' column (reference
+        generateSpeedsFromValues, MocoTrajectory.h:400)."""
+        from .splines import CubicSpline
+
+        states = self.states.copy()
+        for i, n in enumerate(self.state_names):
+            if not n.endswith("/speed"):
+                continue
+            vname = n[:-len("/speed")] + "/value"
+            if vname not in self.state_names:
+                continue
+            j = self.state_names.index(vname)
+            sp = CubicSpline(self.time, self.states[:, j])
+            states[:, i] = np.asarray(sp.derivative(self.time))
+        return dataclasses.replace(self, states=states)
+
+    def generate_accelerations_from_speeds(self):
+        """Append/overwrite '<coord>/accel' derivative columns with spline
+        derivatives of the speeds (reference
+        generateAccelerationsFromSpeeds, MocoTrajectory.h:409)."""
+        from .splines import CubicSpline
+
+        names = []
+        cols = []
+        for i, n in enumerate(self.state_names):
+            if not n.endswith("/speed"):
+                continue
+            sp = CubicSpline(self.time, self.states[:, i])
+            names.append(n[:-len("/speed")] + "/accel")
+            cols.append(np.asarray(sp.derivative(self.time)))
+        D = (np.stack(cols, axis=1) if cols
+             else np.zeros((len(self.time), 0)))
+        return dataclasses.replace(self, derivative_names=names,
+                                   derivatives=D)
+
+    def is_compatible(self, state_names, control_names,
+                      require_all=False) -> bool:
+        """Name-set compatibility with a problem (reference
+        MocoTrajectory::isCompatible, MocoTrajectory.h:516)."""
+        s_ok = set(self.state_names) >= set(state_names) if require_all \
+            else bool(set(self.state_names) & set(state_names)) or \
+            not state_names
+        c_ok = set(self.control_names) >= set(control_names) if require_all \
+            else bool(set(self.control_names) & set(control_names)) or \
+            not control_names
+        return s_ok and c_ok
+
+    def is_numerically_equal(self, other: "Trajectory", tol=1e-10) -> bool:
+        """Strict elementwise equality on shared layout (reference
+        isNumericallyEqual, MocoTrajectory.h:534)."""
+        if (self.state_names != other.state_names or
+                self.control_names != other.control_names or
+                self.time.shape != other.time.shape):
+            return False
+        return (np.allclose(self.time, other.time, atol=tol) and
+                np.allclose(self.states, other.states, atol=tol) and
+                np.allclose(self.controls, other.controls, atol=tol))
+
     def compare_controls_rms(self, other: "Trajectory", names=None):
         names = names or [n for n in self.control_names
                           if n in other.control_names]
