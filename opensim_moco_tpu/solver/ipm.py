@@ -74,6 +74,14 @@ class IPMOptions:
     s_phi: float = 2.3
     delta_switch: float = 1.0
     eta_phi: float = 1e-8
+    # KKT linear solver: "dense" (one LU of the full KKT; right for small
+    # batched problems on the MXU) or "structured" (bordered block-
+    # tridiagonal factorization over the time axis, O(N nb^3); requires the
+    # NLP to carry a KKTStructure — transcription NLPs do). "auto" picks
+    # structured when a structure is available and the KKT dimension is
+    # large enough for it to win.
+    kkt: str = "auto"
+    kkt_structured_min_dim: int = 1200
 
 
 class IPMResult(NamedTuple):
@@ -124,6 +132,10 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
     at most 100. Essential for multibody problems mixing N, m, s units.
     """
     opt = options
+    if opt.kkt not in ("auto", "dense", "structured"):
+        raise ValueError(f"kkt must be auto|dense|structured, got "
+                         f"{opt.kkt!r}")
+    structure_full = nlp.structure
 
     f_unscale = 1.0
     if scale_z0 is not None:
@@ -187,6 +199,21 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         hess_L = jax.jacfwd(jax.grad(lagrangian, argnums=0), argnums=0)
 
     n, m = nlp.n, nlp.m
+
+    # ---- structured KKT (bordered block-tridiagonal over the time axis)
+    cs = None
+    if m and structure_full is not None and opt.kkt != "dense":
+        from .kkt import CompiledStructure
+        cs_try = CompiledStructure(
+            structure_full.var_blocks, structure_full.con_blocks,
+            structure_full.border_vars, structure_full.border_cons,
+            len(fixed_mask), m)
+        if has_fixed:
+            cs_try = cs_try.remap_free(free_idx)
+        use = (opt.kkt == "structured" or
+               (n + m) >= opt.kkt_structured_min_dim)
+        cs = cs_try if use else None
+
     lb = np.asarray(nlp.lb, dtype=np.float64)
     ub = np.asarray(nlp.ub, dtype=np.float64)
     has_l_np = np.isfinite(lb)
@@ -333,6 +360,10 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
 
         def kkt_solve_rhs(delta_w, r1, r2):
             delta_c = 1e-8 * wscale
+            if cs is not None:
+                from .kkt import structured_kkt_solve
+                return structured_kkt_solve(H, J, delta_w, delta_c, cs,
+                                            r1, r2)
             if m:
                 K = jnp.block([
                     [H + delta_w * jnp.eye(n, dtype=dtype), J.T],
@@ -470,8 +501,14 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
             # active bounds (which would collapse the step cap to zero)
             Dw = jnp.minimum(jnp.minimum(dl, du), 1.0)
             A = J * Dw[None, :]
-            AAt = A @ A.T + 1e-8 * wscale * jnp.eye(m, dtype=dtype)
-            dz_feas = -Dw * (A.T @ jnp.linalg.solve(AAt, cz))
+            if cs is not None:
+                from .kkt import structured_feasibility_step
+                y_feas, _ = structured_feasibility_step(
+                    A, 1e-8 * wscale, cs, cz)
+                dz_feas = -Dw * y_feas
+            else:
+                AAt = A @ A.T + 1e-8 * wscale * jnp.eye(m, dtype=dtype)
+                dz_feas = -Dw * (A.T @ jnp.linalg.solve(AAt, cz))
         else:
             dz_feas = jnp.zeros((n,), dtype)
         alpha_feas0 = jnp.minimum(max_step(dl, dz_feas, has_l),

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def block_tridiag_solve(D, L, rhs):
@@ -88,6 +89,204 @@ def bordered_block_tridiag_solve(D, L, B, C, rhs_T, rhs_C):
     w = jnp.linalg.solve(S, rhs_C - BtTinvr)
     x = Tinv_r - jnp.einsum("nik,k->ni", Tinv_B, w)
     return x, w
+
+
+class CompiledStructure:
+    """KKTStructure lowered to padded index arrays in a given index space.
+
+    Blocks have unequal sizes (the last interval carries the final mesh
+    point); they are padded to the maximum and masked. Padded rows/columns
+    become identity rows with zero right-hand side, so the factorization
+    shapes stay static for XLA.
+    """
+
+    def __init__(self, var_blocks, con_blocks, border_vars, border_cons,
+                 n, m):
+        N = len(var_blocks)
+        assert N == len(con_blocks) and N >= 2
+        self.N = N
+        nv = max(len(b) for b in var_blocks)
+        nc = max((len(b) for b in con_blocks), default=0)
+        self.nv, self.nc = nv, nc
+        V = np.zeros((N, nv), np.int32)
+        Vm = np.zeros((N, nv), bool)
+        C = np.zeros((N, nc), np.int32)
+        Cm = np.zeros((N, nc), bool)
+        for i, b in enumerate(var_blocks):
+            V[i, :len(b)] = b
+            Vm[i, :len(b)] = True
+        for i, b in enumerate(con_blocks):
+            C[i, :len(b)] = b
+            Cm[i, :len(b)] = True
+        self.V, self.Vm, self.C, self.Cm = V, Vm, C, Cm
+        self.bv = np.asarray(border_vars, np.int32)
+        self.bc = np.asarray(border_cons, np.int32)
+        self.n, self.m = n, m
+        # coverage check: every index appears exactly once
+        all_v = np.concatenate([V[Vm].ravel(), self.bv])
+        all_c = np.concatenate([C[Cm].ravel(), self.bc])
+        assert len(all_v) == n and len(np.unique(all_v)) == n, \
+            (len(all_v), n)
+        assert len(all_c) == m and len(np.unique(all_c)) == m, \
+            (len(all_c), m)
+
+    def remap_free(self, free_idx):
+        """Project onto the free-variable subspace (fixed variables
+        eliminated by the solver): drops fixed variable indices and
+        renumbers the rest."""
+        n_full = self.n
+        old_to_new = np.full(n_full, -1, np.int64)
+        old_to_new[free_idx] = np.arange(len(free_idx))
+
+        def remap_blocks(blocks_idx, blocks_mask):
+            out = []
+            for i in range(self.N):
+                idx = blocks_idx[i][blocks_mask[i]]
+                new = old_to_new[idx]
+                out.append(new[new >= 0].tolist())
+            return out
+
+        vb = remap_blocks(self.V, self.Vm)
+        bv = old_to_new[self.bv]
+        bv = bv[bv >= 0]
+        cb = [self.C[i][self.Cm[i]].tolist() for i in range(self.N)]
+        return CompiledStructure(vb, cb, bv, self.bc, len(free_idx), self.m)
+
+
+def structured_kkt_solve(H, J, delta_w, delta_c, cs: CompiledStructure,
+                         r1, r2):
+    """Solve [[H + delta_w I, J^T], [J, -delta_c I]] [dz; dnu] = [r1; r2]
+    using the bordered block-tridiagonal structure.
+
+    H: (n, n) Hessian of the Lagrangian (+ barrier Sigma on the diagonal),
+    J: (m, n). Same semantics as the dense path in ipm.kkt_solve_rhs but
+    O(N nb^3).
+    """
+    dtype = H.dtype
+    N, nv, nc = cs.N, cs.nv, cs.nc
+    V = jnp.asarray(cs.V)
+    C = jnp.asarray(cs.C)
+    mv = jnp.asarray(cs.Vm).astype(dtype)
+    mc = jnp.asarray(cs.Cm).astype(dtype)
+    bv = jnp.asarray(cs.bv)
+    bc = jnp.asarray(cs.bc)
+    kv, kc = len(cs.bv), len(cs.bc)
+    h_diag = H.ndim == 1  # H given as a diagonal (feasibility fallback)
+
+    # ---- diagonal blocks
+    eye_v = jnp.eye(nv, dtype=dtype)
+    if h_diag:
+        Hvv = eye_v * (H[V] * mv)[:, :, None]
+    else:
+        Hvv = H[V[:, :, None], V[:, None, :]] * mv[:, :, None] * \
+            mv[:, None, :]
+    Dvv = Hvv + delta_w * eye_v * mv[:, :, None] + \
+        eye_v * (1.0 - mv)[:, :, None]
+    if nc:
+        Jcv = J[C[:, :, None], V[:, None, :]] * mc[:, :, None] * \
+            mv[:, None, :]
+        eye_c = jnp.eye(nc, dtype=dtype)
+        Dcc = -delta_c * eye_c * mc[:, :, None] - \
+            eye_c * (1.0 - mc)[:, :, None]
+        D = jnp.concatenate([
+            jnp.concatenate([Dvv, jnp.swapaxes(Jcv, 1, 2)], axis=2),
+            jnp.concatenate([Jcv, Dcc], axis=2)], axis=1)
+    else:
+        D = Dvv
+
+    # ---- sub-diagonal blocks: rows of block i+1, cols of block i
+    if h_diag:
+        Hv1v0 = jnp.zeros((N - 1, nv, nv), dtype=dtype)
+    else:
+        Hv1v0 = H[V[1:, :, None], V[:-1, None, :]] * mv[1:, :, None] * \
+            mv[:-1, None, :]
+    if nc:
+        Jc0v1T = jnp.swapaxes(
+            J[C[:-1, :, None], V[1:, None, :]] * mc[:-1, :, None] *
+            mv[1:, None, :], 1, 2)
+        Jc1v0 = J[C[1:, :, None], V[:-1, None, :]] * mc[1:, :, None] * \
+            mv[:-1, None, :]
+        Zcc = jnp.zeros((N - 1, nc, nc), dtype=dtype)
+        L = jnp.concatenate([
+            jnp.concatenate([Hv1v0, Jc0v1T], axis=2),
+            jnp.concatenate([Jc1v0, Zcc], axis=2)], axis=1)
+    else:
+        L = Hv1v0
+
+    rT_v = r1[V] * mv
+    rT_c = (r2[C] * mc) if nc else jnp.zeros((N, 0), dtype=dtype)
+    rhs_T = jnp.concatenate([rT_v, rT_c], axis=1)
+
+    k = kv + kc
+    if k == 0:
+        x = block_tridiag_solve(D, L, rhs_T)
+        w = jnp.zeros(0, dtype=dtype)
+    else:
+        # border blocks
+        if kv:
+            Hvb = (jnp.zeros((N, nv, kv), dtype=dtype) if h_diag
+                   else H[V][:, :, bv] * mv[:, :, None])
+        else:
+            Hvb = jnp.zeros((N, nv, 0), dtype=dtype)
+        # J[bc] is (kc, n); J[bc][:, V] -> (kc, N, nv); move to (N, nv, kc)
+        Jbcv = (jnp.transpose(J[bc][:, V], (1, 2, 0)) * mv[:, :, None]
+                if kc else jnp.zeros((N, nv, 0), dtype=dtype))
+        Bv = jnp.concatenate([Hvb, Jbcv], axis=2)  # (N, nv, k)
+        if nc:
+            Jcbv = (J[C][:, :, bv] * mc[:, :, None] if kv
+                    else jnp.zeros((N, nc, 0), dtype=dtype))
+            Zck = jnp.zeros((N, nc, kc), dtype=dtype)
+            Bc = jnp.concatenate([Jcbv, Zck], axis=2)
+            B = jnp.concatenate([Bv, Bc], axis=1)  # (N, nb, k)
+        else:
+            B = Bv
+        # border diagonal
+        if kv:
+            Hbb = (jnp.diag(H[bv]) if h_diag else H[bv][:, bv]) + \
+                delta_w * jnp.eye(kv, dtype=dtype)
+        else:
+            Hbb = jnp.zeros((0, 0), dtype=dtype)
+        Jbb = J[bc][:, bv] if (kc and kv) else jnp.zeros((kc, kv),
+                                                         dtype=dtype)
+        Cb = jnp.block([
+            [Hbb, Jbb.T],
+            [Jbb, -delta_c * jnp.eye(kc, dtype=dtype)]]) \
+            if (kv or kc) else jnp.zeros((0, 0), dtype=dtype)
+        rhs_C = jnp.concatenate([r1[bv], r2[bc]])
+        x, w = bordered_block_tridiag_solve(D, L, B, Cb, rhs_T, rhs_C)
+
+    # ---- scatter back (padded lanes write to a scratch slot)
+    n, m = cs.n, cs.m
+    dz = jnp.zeros(n + 1, dtype=dtype)
+    Vs = jnp.where(jnp.asarray(cs.Vm), V, n)
+    dz = dz.at[Vs.ravel()].set(x[:, :nv].ravel())
+    if kv:
+        dz = dz.at[bv].set(w[:kv])
+    dz = dz[:n]
+    dnu = jnp.zeros(m + 1, dtype=dtype)
+    if nc:
+        Cs = jnp.where(jnp.asarray(cs.Cm), C, m)
+        dnu = dnu.at[Cs.ravel()].set(x[:, nv:].ravel())
+    if kc:
+        dnu = dnu.at[bc].set(w[kv:])
+    dnu = dnu[:m]
+    return dz, dnu
+
+
+def structured_feasibility_step(A, delta, cs: CompiledStructure, c):
+    """x solving (A A^T + delta I) x = c via the structured KKT solver.
+
+    Used by the IPM feasibility fallback (Gauss-Newton on ||c||^2): the
+    augmented symmetric system [[-I, A^T], [A, delta I]] [y; x] = [0; c]
+    eliminates to (A A^T + delta I) x = c with y = A^T x, and it has exactly
+    the bordered block-tridiagonal shape structured_kkt_solve factors.
+    Returns (y, x) = (A^T x, x); the fallback step is dz = -Dw * y.
+    """
+    dtype = A.dtype
+    minus_one = -jnp.ones(cs.n, dtype=dtype)
+    y, x = structured_kkt_solve(minus_one, A, jnp.zeros((), dtype),
+                                -delta, cs, jnp.zeros(cs.n, dtype=dtype), c)
+    return y, x
 
 
 def dense_from_blocks(D, L, B=None, C=None):

@@ -555,6 +555,109 @@ class Transcription:
                                "sync with constraints_fn")
         return report
 
+    # ------------------------------------------------------- KKT structure
+    def kkt_structure(self):
+        """Time-grouped block structure of the NLP (see
+        solver.nlp.KKTStructure): variables/constraints of mesh interval i
+        form block i; times, parameters, endpoint constraints and their
+        slacks form the border. Enables the bordered block-tridiagonal KKT
+        factorization (O(N nb^3), the same sparsity the reference documents
+        at CasOCTranscription.h:219-387 and hands to MUMPS inside IPOPT).
+
+        Validity requires that no cost-mode goal couples initial and final
+        points nonlinearly (endpoint-constraint goals are fine — their rows
+        live in the border); PeriodicityGoal/AverageSpeedGoal in cost mode
+        would break it, so we return None in that case and the solver falls
+        back to the dense path.
+        """
+        from ..solver.nlp import KKTStructure
+
+        N = self.n_int
+        if N < 2:
+            return None
+        for g in self.cost_goals:
+            if type(g).__name__ in ("PeriodicityGoal", "AverageSpeedGoal"):
+                return None
+        o = self.offsets
+
+        def var_ids(kind, g, per):
+            start = o[kind][0] + g * per
+            return list(range(start, start + per))
+
+        def blk_of_grid(g):
+            return min(g // 2 if self.hermite_simpson else g, N - 1)
+
+        blocks_v = [[] for _ in range(N)]
+        border_v = [0, 1]
+        for g in range(self.G):
+            b = blocks_v[blk_of_grid(g)]
+            b += var_ids("states", g, self.ny)
+            b += var_ids("controls", g, self.nx)
+            b += var_ids("multipliers", g, self.nlam)
+            b += var_ids("derivs", g, self.nderiv)
+        for i in range(N):
+            blocks_v[i] += var_ids("gamma", i, self.n_gamma)
+        npts = self.n_pc_points
+        for spos in range(len(self.pc_slack_specs)):
+            for j in range(npts):
+                blocks_v[min(j, N - 1)].append(
+                    o["pc_slack"][0] + spos * npts + j)
+        border_v += list(range(o["ec_slack"][0], o["ec_slack"][1]))
+        border_v += list(range(o["params"][0], o["params"][1]))
+
+        # constraint rows, mirroring constraints_fn assembly order exactly
+        blocks_c = [[] for _ in range(N)]
+        border_c = []
+        off = 0
+
+        def rows_interval_major(per):
+            nonlocal off
+            for i in range(N):
+                blocks_c[i] += list(range(off, off + per))
+                off += per
+
+        def rows_grid_major(per):
+            nonlocal off
+            for g in range(self.G):
+                blocks_c[blk_of_grid(g)] += list(range(off, off + per))
+                off += per
+
+        def rows_mesh_major(per):
+            nonlocal off
+            for j in range(len(self.mesh_idx)):
+                blocks_c[min(j, N - 1)] += list(range(off, off + per))
+                off += per
+
+        rep = self.rep
+        ny, nq = self.ny, self.nq
+        if self.hermite_simpson:
+            if self.n_gamma:
+                rows_interval_major(rep.nlam)  # midpoint manifold phi
+            rows_interval_major(ny)  # hermite
+            rows_interval_major(ny)  # simpson
+            if self.nx and self.opt.interpolate_control_midpoints:
+                rows_interval_major(self.nx)
+        else:
+            rows_interval_major(ny)  # trapezoidal defect
+        n_alg = ((nq if self.implicit_mb else 0) + self.n_zeta +
+                 (nq if self.prescribed else 0))
+        if n_alg:
+            rows_grid_major(n_alg)
+        if self.nlam and not self.prescribed:
+            mult = 3 if self.opt.enforce_constraint_derivatives else 1
+            for _ in range(mult):  # phi, phidot, phiddot sub-arrays
+                rows_mesh_major(rep.nlam)
+        for pc in rep.path_constraints:
+            for _ in range(len(pc.lower)):
+                rows_mesh_major(1)
+        for g in self.ec_goals:
+            border_c += list(range(off, off + g.num_outputs))
+            off += g.num_outputs
+
+        return KKTStructure(var_blocks=blocks_v, con_blocks=blocks_c,
+                            border_vars=np.asarray(border_v, np.int64),
+                            border_cons=np.asarray(border_c, np.int64))
+
     # ---------------------------------------------------------------- NLP
     def make_nlp(self) -> NLP:
         lb, ub = self.bounds()
@@ -566,7 +669,8 @@ class Transcription:
                                                            else jnp.float32)
                                  ).shape[0]
         return NLP(n=self.n, m=int(m_count), objective=self.objective_fn(),
-                   constraints=cfn, lb=lb, ub=ub)
+                   constraints=cfn, lb=lb, ub=ub,
+                   structure=self.kkt_structure())
 
     # --------------------------------------------------------------- guess
     def guess_from_trajectory(self, traj, dtype=None):
