@@ -18,7 +18,7 @@ import sys
 
 
 EXAMPLES = ("sliding_mass", "kirk_min_effort", "double_pendulum_swingup",
-            "hanging_muscle", "gait2d_tracking")
+            "hanging_muscle", "gait2d_tracking", "gait_inverse")
 
 
 def _get_example(name, **kwargs):
@@ -42,7 +42,25 @@ def main(argv=None):
                          help="print an example's solver configuration")
     cfg.add_argument("name", choices=EXAMPLES)
 
+    runj = sub.add_parser("run", help="solve a JSON study document "
+                          "(the .omoco analogue)")
+    runj.add_argument("config", help="path to study .json")
+    runj.add_argument("--out", default=None, help="solution .sto path")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "run":
+        from .utils.studyconfig import load_study
+        tool, cfg = load_study(args.config)
+        sol = tool.solve()
+        print(f"success={sol.success} objective={sol.objective:.6f} "
+              f"iterations={sol.num_iterations} "
+              f"duration={sol.solver_duration:.2f}s")
+        if args.out:
+            from .utils.tables import trajectory_to_sto
+            trajectory_to_sto(sol.unseal(), args.out)
+            print(f"wrote {args.out}")
+        return 0 if sol.success else 1
 
     if args.cmd == "print-config":
         study, _ = _get_example(args.name)

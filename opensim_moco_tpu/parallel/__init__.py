@@ -1,3 +1,5 @@
 from .batch import batch_guesses, default_mesh, make_batched_solver
+from .grid_shard import demo_grid_sharding, grid_sharded_eval
 
-__all__ = ["make_batched_solver", "default_mesh", "batch_guesses"]
+__all__ = ["make_batched_solver", "default_mesh", "batch_guesses",
+           "grid_sharded_eval", "demo_grid_sharding"]

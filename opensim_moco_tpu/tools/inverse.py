@@ -74,8 +74,14 @@ class Inverse:
             minimize_implicit_auxiliary_derivatives=True,
             implicit_auxiliary_derivatives_weight=0.01,  # MocoInverse.cpp:110
         )
+        # objective-only curvature: the reference's MocoInverse never sees
+        # exact constraint curvature either (forward finite differences +
+        # IPOPT limited-memory BFGS, MocoInverse.cpp:112 and
+        # MocoDirectCollocationSolver.h:121); dropping it shrinks the XLA
+        # graph by an order of magnitude on muscle-rich gait models
         study.set_ipm_options(tol=self.convergence_tolerance,
-                              max_iter=self.max_iterations)
+                              max_iter=self.max_iterations,
+                              hessian_approximation="objective-only")
         return study
 
     def solve(self):

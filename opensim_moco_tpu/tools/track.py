@@ -44,6 +44,8 @@ class Track:
         else:
             times, data = ref
             times = np.asarray(times)
+        if not self.model._finalized:
+            self.model.finalize()
         model_states = set(self.model.state_names())
         data = {n: v for n, v in data.items() if n in model_states}
         if self.track_reference_position_derivatives:
@@ -103,8 +105,12 @@ class Track:
         n_int = max(2, int(round((tf - t0) / self.mesh_interval)))
         study.set_solver_options(transcription_scheme="hermite-simpson",
                                  num_mesh_intervals=n_int)
+        # limited-memory curvature is the reference's default for DC
+        # solvers (MocoDirectCollocationSolver.h:121); exact Lagrangian
+        # Hessians on muscle-rich tracking models blow up XLA compile time
         study.set_ipm_options(tol=self.convergence_tolerance,
-                              max_iter=self.max_iterations)
+                              max_iter=self.max_iterations,
+                              hessian_approximation="objective-only")
         return study
 
     def solve(self):
