@@ -235,6 +235,11 @@ class Model:
         # dicts with body, force_fn(t), point_fn(t), torque_fn(t)|None
         self.external_forces: list[dict] = []
         self.kinematic_constraints: list[tuple[str, Callable]] = []
+        # CoordinateCouplerConstraint metadata (dep_idx, ind_idx, fn) so
+        # tools can project dependent coordinates onto the constraint
+        # manifold, like the reference's assembled StatesTrajectory
+        # (MocoInverse.cpp:63-66)
+        self.couplers: list[tuple] = []
         # PositionMotion analogue (reference Components/PositionMotion.h):
         # (params, t) -> (q, u, udot); removes multibody states entirely
         self.position_motion: Callable | None = None
@@ -323,11 +328,12 @@ class Model:
 
     def set_position_motion_from_table(self, times, coord_values):
         """Build the PositionMotion from sampled coordinate trajectories
-        via cubic splines (PositionMotion::createFromTable analogue).
+        via quintic splines (PositionMotion::createFromTable analogue —
+        the reference uses GCVSpline of degree 5).
         ``coord_values``: (K, nq) array in our coordinate order."""
-        from ..utils.splines import CubicSpline
+        from ..utils.splines import QuinticSpline
 
-        spline = CubicSpline(times, coord_values)
+        spline = QuinticSpline(times, coord_values)
 
         def fn(p, t):
             return spline(t), spline.derivative(t), spline.second_derivative(t)
@@ -609,22 +615,35 @@ class Model:
         exc, act, ft = self._muscle_vec_state(z, x)
         return self._muscle_forces_vec(p, act, ft, lMT, vMT)
 
-    def applied_generalized_forces(self, p, t, q, u, z, x):
-        """Total applied generalized force vector f_app(t, y, x, p).
-
-        One kinematics "bundle" (muscle path lengths + all contact points)
-        is pushed through jvp/vjp once, instead of per-component FK passes
-        — this keeps the traced graph small enough for fast XLA compiles on
-        muscle-rich models.
-        """
-        dtype = q.dtype
-        tau = jnp.zeros(self.nq, dtype=dtype)
-        # coordinate actuators (vectorized scatter-add)
+    def tau_controls(self, p, x):
+        """Generalized forces from coordinate actuators only (linear in the
+        controls)."""
+        tau = jnp.zeros(self.nq, dtype=x.dtype)
         if self.actuators:
             coords = jnp.asarray(np.asarray(
                 [a.coord for a in self.actuators], np.int32))
             gains = p["actuator_optimal_force"]
             tau = tau.at[coords].add(gains * x[:len(self.actuators)])
+        return tau
+
+    def applied_generalized_forces(self, p, t, q, u, z, x,
+                                   include_muscles=True,
+                                   include_controls=True):
+        """Total applied generalized force vector f_app(t, y, x, p).
+
+        One kinematics "bundle" (muscle path lengths + all contact points)
+        is pushed through jvp/vjp once, instead of per-component FK passes
+        — this keeps the traced graph small enough for fast XLA compiles on
+        muscle-rich models. ``include_muscles=False`` /
+        ``include_controls=False`` drop those contributions (used to fold
+        the time-only part into per-grid-point constants on
+        prescribed-kinematics problems).
+        """
+        dtype = q.dtype
+        tau = jnp.zeros(self.nq, dtype=dtype)
+        # coordinate actuators (vectorized scatter-add)
+        if include_controls:
+            tau = tau + self.tau_controls(p, x).astype(dtype)
         # springs / dampers
         if self.springs:
             sp = p["spring"]
@@ -634,7 +653,7 @@ class Model:
                  sp["viscosity"] * u[scoords])
             tau = tau.at[scoords].add(f)
 
-        nm = len(self.muscles)
+        nm = len(self.muscles) if include_muscles else 0
         nsp = len(self.sphere_contacts)
         nsc = len(self.contacts)
         nef = len(self.external_forces)
@@ -871,10 +890,68 @@ class Model:
         b = self.mech.bias_forces(p["mech"], q, u)
         return M @ udot - (tau - b)
 
-    def aux_dynamics(self, p, t, q, u, z, x, implicit_aux_derivs=None):
+    # ------------------------------------------ prescribed-kinematics cache
+    def prescribed_point_constants(self, p, t):
+        """Time-only constants of the force balance at one grid time of a
+        prescribed-kinematics problem (the MocoInverse structure,
+        reference MocoInverse.cpp:46-96 + MocoTheoryGuide.dox "Prescribed
+        kinematics").
+
+        With q(t), u(t), u̇(t) prescribed and no free parameters, every
+        kinematic quantity in the DAE residual is a constant of the NLP:
+        the decision variables (activations, tendon forces, controls) only
+        enter through muscle/actuator forces. Returns a dict with
+
+        - ``t, q, u, udot``
+        - ``tau_net`` = RNEA(q,u,u̇) − f_passive (springs/contacts/external)
+        - ``R`` (nm, nq) moment-arm matrix ∂lMT/∂q
+        - ``lMT, vMT`` muscle-tendon lengths/velocities
+        - ``Gc`` (nphi, nq) kinematic-constraint Jacobian (if any)
+
+        so the per-point residual collapses to
+        ``tau_net + Rᵀ F_m − τ_ctrl(x) − Gcᵀ λ`` — DGF curve math plus two
+        small matvecs. This deletes FK/RNEA/wrapping from the NLP graph
+        entirely (an order-of-magnitude XLA compile/runtime win on
+        muscle-rich gait models)."""
+        q, u, udot = self.position_motion(p, t)
+        dtype = q.dtype
+        nm = len(self.muscles)
+        if nm:
+            lMT, vMT = self.muscle_path_kinematics(p, q, u)
+            R = jax.jacfwd(lambda qq: self.path_lengths(p, qq))(q)
+        else:
+            lMT = vMT = jnp.zeros(0, dtype=dtype)
+            R = jnp.zeros((0, self.nq), dtype=dtype)
+        x0 = jnp.zeros(len(self.control_names()), dtype=dtype)
+        z0 = jnp.zeros(self.naux, dtype=dtype)
+        tau_passive = self.applied_generalized_forces(
+            p, t, q, u, z0, x0, include_muscles=False,
+            include_controls=False)
+        tau_net = self.mech.rnea(p["mech"], q, u, udot) - tau_passive
+        out = {"t": t, "q": q, "u": u, "udot": udot, "tau_net": tau_net,
+               "R": R, "lMT": lMT, "vMT": vMT}
+        if self.nphi:
+            out["Gc"] = self.constraint_jacobian(p, q)
+        return out
+
+    def prescribed_residual_cached(self, p, c, z, x, lam):
+        """Force-balance residual at one grid point from precomputed
+        constants ``c`` (see :meth:`prescribed_point_constants`)."""
+        res = c["tau_net"] - self.tau_controls(p, x)
+        if self.muscles:
+            exc, act, ft = self._muscle_vec_state(z, x)
+            F_m = self._muscle_forces_vec(p, act, ft, c["lMT"], c["vMT"])
+            res = res + c["R"].T @ F_m
+        if self.nphi:
+            res = res + c["Gc"].T @ lam
+        return res
+
+    def aux_dynamics(self, p, t, q, u, z, x, implicit_aux_derivs=None,
+                     path_kin=None):
         """zdot (naux,), fully vectorized over muscles. Implicit-tendon
         muscles take their derivative from ``implicit_aux_derivs`` (the
-        zeta variables of the transcription)."""
+        zeta variables of the transcription). ``path_kin=(lMT, vMT)`` skips
+        the path-kinematics recompute when the caller already has it."""
         if self.naux == 0:
             return jnp.zeros(0, dtype=q.dtype)
         mv = self._mv
@@ -896,7 +973,8 @@ class Model:
             has_explicit = bool((~mv["implicit"][comp_m]).any())
             if has_explicit:
                 mps = {k: v[sub] for k, v in mp.items()}
-                lMT, vMT = self.muscle_path_kinematics(p, q, u)
+                lMT, vMT = (path_kin if path_kin is not None
+                            else self.muscle_path_kinematics(p, q, u))
                 dft_exp = dgf.explicit_tendon_dynamics(
                     mps, act[sub], ft[sub], lMT[sub], vMT[sub],
                     jnp.asarray(mv["nopass"][comp_m]))
@@ -913,7 +991,8 @@ class Model:
             zdot = zdot.at[jnp.asarray(mv["ft_zidx"][comp_m])].set(dft)
         return zdot
 
-    def implicit_aux_residuals(self, p, t, q, u, z, x, implicit_aux_derivs):
+    def implicit_aux_residuals(self, p, t, q, u, z, x, implicit_aux_derivs,
+                               path_kin=None):
         """Equilibrium residuals for implicit-tendon muscles (normalized by
         max isometric force for conditioning), vectorized."""
         if not self._implicit_aux:
@@ -924,7 +1003,8 @@ class Model:
         mp = p["muscles"]
         mps = {k: v[sub] for k, v in mp.items()}
         exc, act, ft = self._muscle_vec_state(z, x)
-        lMT, vMT = self.muscle_path_kinematics(p, q, u)
+        lMT, vMT = (path_kin if path_kin is not None
+                    else self.muscle_path_kinematics(p, q, u))
         zeta = implicit_aux_derivs[jnp.asarray(mv["imp_didx"][imp_m])]
         r = dgf.implicit_tendon_residual(
             mps, act[sub], ft[sub], zeta, lMT[sub], vMT[sub],

@@ -96,6 +96,15 @@ def _wrap_length_2d(p, q, R, quadrant_sign, quadrant_axis):
     tpar = jnp.clip(-(p @ d) / jnp.maximum(dd, 1e-16), 0.0, 1.0)
     closest = p + tpar * d
     crosses = (closest @ closest) < R ** 2
+    if quadrant_axis is not None:
+        # OpenSim mandatory far-side wrap (WrapCylinder::wrapLine with
+        # _wrapSign): when the straight segment passes on the side
+        # OPPOSITE the active quadrant, the path must still wrap around
+        # the quadrant side (e.g. psoas over the pelvic brim, quadrant
+        # -y: the chord passes above the brim center, the muscle bends
+        # under it)
+        far_side = quadrant_sign * closest[quadrant_axis] < 0
+        crosses = crosses | far_side
     return planar, crosses & engaged_side
 
 

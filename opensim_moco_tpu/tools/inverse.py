@@ -45,6 +45,15 @@ class Inverse:
 
     def build_study(self) -> Study:
         times, values = self._kinematics_arrays()
+        # project dependent coupled coordinates onto the constraint
+        # manifold, q_dep(t) = f(q_ind(t)) — the reference gets this from
+        # assembling the StatesTrajectory (MocoInverse.cpp:63-66); raw
+        # .mot tables often carry stale/mis-unit dependent columns
+        if getattr(self.model, "couplers", None):
+            values = np.array(values, copy=True)
+            for (di, ii, fn) in self.model.couplers:
+                values[:, di] = np.asarray(
+                    [float(fn(v)) for v in values[:, ii]])
         t0 = self.initial_time if self.initial_time is not None else times[0]
         tf = self.final_time if self.final_time is not None else times[-1]
         model = self.model

@@ -79,6 +79,14 @@ class Transcription:
                                                 "trapezoidal"):
             raise ValueError(options.transcription_scheme)
         self.prescribed = model.prescribed
+        # prescribed kinematics + fixed time window + no free parameters:
+        # every kinematic quantity in the DAE is a per-grid-point constant
+        # (see Model.prescribed_point_constants) — fold it at build time
+        self.fold_prescribed = bool(
+            model.prescribed and not rep.parameters and
+            rep.t0_bounds[0] == rep.t0_bounds[1] and
+            rep.tf_bounds[0] == rep.tf_bounds[1])
+        self._presc_cache = None
         # with prescribed kinematics there are no multibody states and no
         # acceleration variables; the force balance is always "implicit"
         self.implicit_mb = (options.multibody_dynamics_mode == "implicit"
@@ -333,10 +341,30 @@ class Transcription:
                              (u, udot))
         return phi, phidot, phiddot
 
+    def _prescribed_constants(self):
+        """Per-grid-point constants for the folded prescribed-kinematics
+        path (numpy pytree of (G, ...) arrays), computed once per
+        transcription. See Model.prescribed_point_constants."""
+        if self._presc_cache is None:
+            rep = self.rep
+            m = rep.model
+            p = rep.apply_parameters(jnp.zeros(0))
+            t0 = float(rep.t0_bounds[0])
+            tf = float(rep.tf_bounds[0])
+            ts = jnp.asarray(t0 + (tf - t0) * self.taus)
+            # eager on purpose: jit-compiling the full FK/RNEA/moment-arm
+            # graph takes minutes on compile-bound hosts; this runs once
+            consts = jax.vmap(
+                lambda t: m.prescribed_point_constants(p, t))(ts)
+            self._presc_cache = jax.tree.map(np.asarray,
+                                             jax.device_get(consts))
+        return self._presc_cache
+
     # ---------------------------------------------------------- constraints
     def constraints_fn(self):
         rep = self.rep
         m = rep.model
+        Cnp = self._prescribed_constants() if self.fold_prescribed else None
 
         def constraints(z):
             t0, tf, Y, X, L, D, Gm, pcs, ecs, theta = self.unpack(z)
@@ -344,9 +372,27 @@ class Transcription:
             ts = self._grid_times(t0, tf)
             h = (tf - t0) * jnp.asarray(np.diff(self.mesh), dtype=z.dtype)
 
-            point = lambda t, y, x, lam, d: self._pointwise(p, t, y, x, lam,
-                                                            d)
-            F, ALG, UDOT = jax.vmap(point)(ts, Y, X, L, D)
+            if Cnp is not None:
+                C = jax.tree.map(lambda a: jnp.asarray(a, dtype=z.dtype),
+                                 Cnp)
+
+                def point_c(c, y, x, lam, d):
+                    zeta = d[:self.n_zeta] if self.n_zeta else None
+                    pk = (c["lMT"], c["vMT"])
+                    alg = [m.prescribed_residual_cached(p, c, y, x, lam)]
+                    if self.n_zeta:
+                        alg.append(m.implicit_aux_residuals(
+                            p, c["t"], c["q"], c["u"], y, x, zeta,
+                            path_kin=pk))
+                    zdot = m.aux_dynamics(p, c["t"], c["q"], c["u"], y, x,
+                                          zeta, path_kin=pk)
+                    return zdot, jnp.concatenate(alg), c["udot"]
+
+                F, ALG, UDOT = jax.vmap(point_c)(C, Y, X, L, D)
+            else:
+                point = lambda t, y, x, lam, d: self._pointwise(
+                    p, t, y, x, lam, d)
+                F, ALG, UDOT = jax.vmap(point)(ts, Y, X, L, D)
 
             out = []
             # --- defect constraints

@@ -518,6 +518,7 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
             ii = coord_index(ind[0])
             coupler_list.append({"name": c.get("name"), "dependent": dep,
                                  "independent": ind[0], "fn": fn})
+            model.couplers.append((di, ii, fn))
 
             def make_phi(di=di, ii=ii, fn=fn):
                 import jax.numpy as jnp

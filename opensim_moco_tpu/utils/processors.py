@@ -17,9 +17,11 @@ from .tables import StoTable
 
 
 def filter_lowpass(table: StoTable, cutoff_hz: float,
-                   order: int = 4) -> StoTable:
+                   order: int = 3) -> StoTable:
     """Zero-phase Butterworth low-pass (reference filterLowpass,
-    MocoUtilities.h:244 uses a 4th-order Butterworth via filtfilt)."""
+    MocoUtilities.cpp:199-208: Storage::pad + Storage::lowpassIIR, a
+    3rd-order Butterworth run forward+backward; validated to reproduce
+    the golden testMocoInverse prescribed kinematics to ~1e-5)."""
     from scipy.signal import butter, filtfilt
 
     dt = np.mean(np.diff(table.time))

@@ -77,3 +77,57 @@ class CubicSpline:
         A = (x1 - t) / h
         B = (t - x0) / h
         return A * self.M[i] + B * self.M[i + 1]
+
+
+class QuinticSpline:
+    """Interpolating quintic spline (the reference's GCVSpline of degree 5
+    with zero smoothing, used by PositionMotion's coordinate functions,
+    Components/PositionMotion.h). Coefficients precomputed with scipy;
+    evaluation is piecewise-polynomial Horner inside JAX, with analytic
+    first/second derivatives."""
+
+    def __init__(self, x, y):
+        from scipy.interpolate import PPoly, make_interp_spline
+
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        squeeze = y.ndim == 1
+        Y = y[:, None] if squeeze else y
+        k = 5 if len(x) > 5 else max(1, len(x) - 1)
+        cols = []
+        for j in range(Y.shape[1]):
+            pp = PPoly.from_spline(make_interp_spline(x, Y[:, j], k=k))
+            cols.append((pp.x, pp.c))
+        xb = cols[0][0]
+        C = np.stack([c for _, c in cols], axis=-1)  # (k+1, nseg, d)
+        self.squeeze = squeeze
+        self.xb = jnp.asarray(xb)
+        self.C = jnp.asarray(C)
+        self.order = C.shape[0]
+
+    def _eval(self, t, deriv):
+        i = jnp.clip(jnp.searchsorted(self.xb, t, side="right") - 1, 0,
+                     self.C.shape[1] - 1)
+        dt = t - self.xb[i]
+        c = self.C[:, i]  # (k+1, d)
+        # derivative of sum c[m] dt^(k-m): multiply by falling factorials
+        k = self.order - 1
+        out = jnp.zeros(c.shape[-1], dtype=c.dtype)
+        for m in range(self.order):
+            e = k - m  # power of dt
+            if e - deriv < 0:
+                continue
+            fac = 1.0
+            for r in range(deriv):
+                fac *= (e - r)
+            out = out + c[m] * fac * dt ** (e - deriv)
+        return out[0] if self.squeeze else out
+
+    def __call__(self, t):
+        return self._eval(t, 0)
+
+    def derivative(self, t):
+        return self._eval(t, 1)
+
+    def second_derivative(self, t):
+        return self._eval(t, 2)

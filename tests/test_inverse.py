@@ -70,3 +70,38 @@ def test_inverse_muscle_plus_reserve():
     # static check at t=0.25 (peak, near-zero accel/vel):
     # muscle force ~ m*g -> F = 100*(a*fl(lM)*fv + fpas) with lMT=0.155
     assert 0.05 < np.mean(act) < 0.3
+
+
+def test_prescribed_fold_matches_unfolded():
+    """The folded prescribed-kinematics path (per-grid-point constants,
+    Model.prescribed_point_constants) must produce bit-identical
+    constraints to the general _pointwise path at feasible times."""
+    import jax.numpy as jnp
+
+    b = MechModelBuilder(gravity=(9.81, 0.0, 0.0))
+    b.add_body("b", mass=1.3, joint_name="j", kind="prismatic",
+               axis=(1, 0, 0), coord_name="h")
+    model = Model(b.finalize())
+    params = dgf.default_muscle_params(
+        max_isometric_force=80.0, optimal_fiber_length=0.10,
+        tendon_slack_length=0.05)
+    model.add_muscle("muscle", path=[(-1, (0, 0, 0)), (0, (0, 0, 0))],
+                     params=params, tendon_dynamics_implicit=True)
+    model.add_coordinate_actuator("reserve", "h", optimal_force=1.0,
+                                  min_control=-10, max_control=10)
+    model.add_spring_generalized_force("damper", "h", viscosity=0.3)
+
+    times = np.linspace(0, 1.0, 51)
+    qs = (0.15 + 0.005 * np.sin(2 * np.pi * times))[:, None]
+    inv = Inverse(model=model, kinematics=(times, qs), mesh_interval=0.1)
+    tr = inv.build_study().transcription()
+    assert tr.fold_prescribed
+
+    rng = np.random.default_rng(3)
+    z = np.asarray(tr.initial_guess())
+    z[2:] += 0.05 * rng.standard_normal(tr.n - 2)  # keep pinned t0/tf
+    z = jnp.asarray(z)
+    c_fold = np.asarray(tr.constraints_fn()(z))
+    tr.fold_prescribed = False
+    c_ref = np.asarray(tr.constraints_fn()(z))
+    np.testing.assert_allclose(c_fold, c_ref, rtol=1e-12, atol=1e-12)
