@@ -136,23 +136,39 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         raise ValueError(f"kkt must be auto|dense|structured, got "
                          f"{opt.kkt!r}")
     structure_full = nlp.structure
+    cs_full = None
+    if nlp.m and structure_full is not None:
+        from .kkt import CompiledStructure
+        cs_full = CompiledStructure(
+            structure_full.var_blocks, structure_full.con_blocks,
+            structure_full.border_vars, structure_full.border_cons,
+            nlp.n, nlp.m)
 
     f_unscale = 1.0
     if scale_z0 is not None:
         # one-off scaling evals: run jitted ON THE CPU BACKEND — compiling
         # the full Jacobian graph for the accelerator just for this wastes
-        # minutes on remote-compile setups
+        # minutes on remote-compile setups. With a KKT structure available,
+        # Jacobian row norms come from the compressed 2-coloring pass
+        # (O(nv) tangents) instead of a dense jacfwd (O(n) tangents).
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             z0s = jnp.asarray(np.asarray(scale_z0))
-            g0, J0 = jax.device_get(jax.jit(
-                lambda z: (jax.grad(nlp.objective)(z),
-                           jax.jacfwd(nlp.constraints)(z)))(z0s))
+            g0 = jax.device_get(jax.jit(jax.grad(nlp.objective))(z0s))
+            if nlp.m:
+                if cs_full is not None:
+                    from .structured import BlockDerivatives
+                    bd0 = BlockDerivatives(cs_full, nlp.constraints,
+                                           nlp.objective)
+                    row_norms = bd0.jac_row_inf_norms(z0s)
+                else:
+                    J0 = jax.device_get(
+                        jax.jit(jax.jacfwd(nlp.constraints))(z0s))
+                    row_norms = np.max(np.abs(J0), axis=1)
         gmax = 100.0
         f_scale = float(min(1.0, gmax / max(np.max(np.abs(g0)), 1e-8)))
         f_unscale = 1.0 / f_scale
-        c_scale = np.minimum(
-            1.0, gmax / np.maximum(np.max(np.abs(J0), axis=1), 1e-8)) \
+        c_scale = np.minimum(1.0, gmax / np.maximum(row_norms, 1e-8)) \
             if nlp.m else np.ones(0)
         c_scale_j = jnp.asarray(c_scale)
         base_obj, base_con = nlp.objective, nlp.constraints
@@ -193,26 +209,34 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         return f_fn(z) + (c_fn(z) @ nu if nlp.m else 0.0)
 
     if opt.hessian_approximation == "objective-only":
-        hess_f = jax.jacfwd(jax.grad(f_fn))
-        hess_L = lambda z, nu: hess_f(z)
+        # Gauss-Newton-flavored: drop constraint curvature (the reference
+        # runs IPOPT with limited-memory BFGS by default,
+        # MocoDirectCollocationSolver.h:121, so it never sees exact
+        # curvature either)
+        lag_grad = lambda z, nu: grad_f(z)
     else:
-        hess_L = jax.jacfwd(jax.grad(lagrangian, argnums=0), argnums=0)
+        lag_grad = jax.grad(lagrangian, argnums=0)
+    hess_L = jax.jacfwd(lag_grad, argnums=0)
 
     n, m = nlp.n, nlp.m
 
-    # ---- structured KKT (bordered block-tridiagonal over the time axis)
+    # ---- structured path. Two independent levers:
+    # * compressed block DERIVATIVES (2-coloring Jacobian, 1-color Hessian):
+    #   used whenever a KKT structure exists — always a win (O(nv) tangents
+    #   instead of O(n));
+    # * block-tridiagonal FACTORIZATION: a `lax.scan` of small dense LUs,
+    #   O(N nb^3) — wins over one dense O((n+m)^3) LU only when the problem
+    #   is large enough to beat the scan's serialization (threshold
+    #   kkt_structured_min_dim, override with kkt="structured"/"dense").
     cs = None
-    if m and structure_full is not None and opt.kkt != "dense":
-        from .kkt import CompiledStructure
-        cs_try = CompiledStructure(
-            structure_full.var_blocks, structure_full.con_blocks,
-            structure_full.border_vars, structure_full.border_cons,
-            len(fixed_mask), m)
-        if has_fixed:
-            cs_try = cs_try.remap_free(free_idx)
-        use = (opt.kkt == "structured" or
-               (n + m) >= opt.kkt_structured_min_dim)
-        cs = cs_try if use else None
+    bd = None
+    if cs_full is not None:
+        from .structured import BlockDerivatives
+        cs = cs_full.remap_free(free_idx) if has_fixed else cs_full
+        bd = BlockDerivatives(cs, c_fn, f_fn)
+    use_btb = cs is not None and (
+        opt.kkt == "structured" or
+        (opt.kkt == "auto" and (n + m) >= opt.kkt_structured_min_dim))
 
     lb = np.asarray(nlp.lb, dtype=np.float64)
     ub = np.asarray(nlp.ub, dtype=np.float64)
@@ -298,14 +322,30 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         mu_min = jnp.asarray(opt.tol * opt.mu_min_factor, dtype)
 
         g = grad_f(z)
-        J = jac_c(z)
         cz = c_fn(z)
-        W = hess_L(z, nu)
         dl, du = _dl_du(z, dtype)
         SigL = jnp.where(has_l, wL / dl, 0.0)
         SigU = jnp.where(has_u, wU / du, 0.0)
+        Sig = SigL + SigU
 
-        Jt_nu = J.T @ nu if m else jnp.zeros((n,), dtype)
+        if cs is not None:
+            from .structured import (assemble_kkt_blocks, block_H_diag,
+                                     block_H_matvec, btb_factor, btb_solve,
+                                     dense_H_from_blocks, dense_J_from_blocks,
+                                     pack_rhs, unpack_sol)
+            jb = bd.jac_blocks(z)
+            hb = bd.hess_blocks(lag_grad, z, nu)
+            _, c_vjp = jax.vjp(c_fn, z)
+            Jt_nu = c_vjp(nu)[0]
+            h_diag = block_H_diag(hb, cs, dtype)
+            if not use_btb:
+                J = dense_J_from_blocks(jb, cs)
+                W = dense_H_from_blocks(hb, cs)
+        else:
+            J = jac_c(z)
+            W = hess_L(z, nu)
+            Jt_nu = J.T @ nu if m else jnp.zeros((n,), dtype)
+            h_diag = jnp.diagonal(W)
         rd = g + Jt_nu - jnp.where(has_l, wL, 0.0) + jnp.where(has_u, wU, 0.0)
         smax = 100.0
         ssum = jnp.sum(jnp.abs(nu)) + jnp.sum(jnp.abs(wL)) + jnp.sum(
@@ -355,58 +395,76 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         gphi = g - jnp.where(has_l, mu_new / dl, 0.0) + \
             jnp.where(has_u, mu_new / du, 0.0)
 
-        H = W + jnp.diag(SigL + SigU)
-        wscale = jnp.maximum(1.0, _inf_norm(jnp.diagonal(H)))
+        wscale = jnp.maximum(1.0, _inf_norm(h_diag + Sig))
 
-        def kkt_solve_rhs(delta_w, r1, r2):
-            delta_c = 1e-8 * wscale
-            if cs is not None:
-                from .kkt import structured_kkt_solve
-                return structured_kkt_solve(H, J, delta_w, delta_c, cs,
-                                            r1, r2)
-            if m:
-                K = jnp.block([
-                    [H + delta_w * jnp.eye(n, dtype=dtype), J.T],
-                    [J, -delta_c * jnp.eye(m, dtype=dtype)],
-                ])
-                rhs = jnp.concatenate([r1, r2])
-            else:
-                K = H + delta_w * jnp.eye(n, dtype=dtype)
-                rhs = r1
-            sol = jnp.linalg.solve(K, rhs)
-            return sol[:n], sol[n:]
+        # factor once per regularization trial; the factorization (a pytree)
+        # rides the carry so the Newton step, the second-order correction,
+        # and the feasibility fallback share it as cheap extra solves
+        if use_btb:
+            def kkt_factor(delta_w):
+                delta_c = 1e-8 * wscale
+                D, L, Bb, Cb = assemble_kkt_blocks(hb, jb, Sig, delta_w,
+                                                   delta_c, cs)
+                return btb_factor(D, L, Bb, Cb)
+
+            def kkt_solve(fac, r1, r2):
+                rhs_T, rhs_C = pack_rhs(r1, r2, None, cs)
+                x, wb = btb_solve(fac, rhs_T, rhs_C)
+                return unpack_sol(x, wb, cs, dtype)
+
+            def H_mv(v):
+                return block_H_matvec(hb, cs, v) + Sig * v
+        else:
+            from jax.scipy.linalg import lu_factor, lu_solve
+            H = W + jnp.diag(Sig)
+
+            def kkt_factor(delta_w):
+                delta_c = 1e-8 * wscale
+                if m:
+                    K = jnp.block([
+                        [H + delta_w * jnp.eye(n, dtype=dtype), J.T],
+                        [J, -delta_c * jnp.eye(m, dtype=dtype)],
+                    ])
+                else:
+                    K = H + delta_w * jnp.eye(n, dtype=dtype)
+                return lu_factor(K)
+
+            def kkt_solve(fac, r1, r2):
+                sol = lu_solve(fac, jnp.concatenate([r1, r2]) if m else r1)
+                return sol[:n], sol[n:]
+
+            def H_mv(v):
+                return H @ v
 
         # ---- inertia-free regularization loop with delta warm-starting
         # (IPOPT: first trial delta = max(delta_min, delta_last / 3); a
         # line-search failure last iteration escalates the starting delta)
-        def try_delta(state):
-            delta, _, _, _, tries = state
-            dz, dnu = kkt_solve_rhs(delta, rhs1, rhs2)
-            curv = dz @ ((H + delta * jnp.eye(n, dtype=dtype)) @ dz)
+        def try_delta(delta, tries):
+            fac = kkt_factor(delta)
+            dz, dnu = kkt_solve(fac, rhs1, rhs2)
+            curv = dz @ H_mv(dz) + delta * (dz @ dz)
             curv_ok = curv >= 1e-9 * (dz @ dz)
             size_ok = _inf_norm(dz) <= 1e6 * jnp.maximum(1.0, _inf_norm(z))
             ok = jnp.all(jnp.isfinite(dz)) & curv_ok & size_ok
-            return delta, dz, dnu, ok, tries
+            return (delta, dz, dnu, ok, tries, fac)
 
         def reg_cond(state):
-            _, _, _, ok, tries = state
+            ok, tries = state[3], state[4]
             return (~ok) & (tries < opt.max_reg)
 
         def reg_body(state):
-            delta, dz, dnu, ok, tries = state
+            delta, _, _, _, tries, _ = state
             new_delta = jnp.maximum(opt.delta_w_init * wscale, delta * 100.0)
-            d2, dz2, dnu2, ok2, _ = try_delta((new_delta, dz, dnu, ok, tries))
-            return (new_delta, dz2, dnu2, ok2, tries + 1)
+            out = try_delta(new_delta, tries + 1)
+            return out
 
         delta_first = jnp.where(carry.delta_last > 0,
                                 jnp.maximum(opt.delta_w_init * wscale,
                                             carry.delta_last / 3.0),
                                 jnp.zeros((), dtype))
-        init_state = try_delta((delta_first, jnp.zeros((n,), dtype),
-                                jnp.zeros((m,), dtype), jnp.array(False),
-                                jnp.array(0)))
-        delta, dz, dnu, ok, _ = jax.lax.while_loop(reg_cond, reg_body,
-                                                   init_state)
+        init_state = try_delta(delta_first, jnp.array(0))
+        delta, dz, dnu, ok, _, fac = jax.lax.while_loop(reg_cond, reg_body,
+                                                        init_state)
 
         dwL = jnp.where(has_l, mu_new / dl - wL - SigL * dz, 0.0)
         dwU = jnp.where(has_u, mu_new / du - wU + SigU * dz, 0.0)
@@ -459,7 +517,7 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         acc_full, armi_full = test_alpha(alpha_pr_max, z_full)
 
         c_soc = alpha_pr_max * cz + c_fn(z_full)
-        dz_soc, _ = kkt_solve_rhs(delta, rhs1, -c_soc)
+        dz_soc, _ = kkt_solve(fac, rhs1, -c_soc)
         alpha_soc = jnp.minimum(max_step(dl, dz_soc, has_l),
                                 max_step(du, -dz_soc, has_u))
         z_soc = z + alpha_soc * dz_soc
@@ -494,21 +552,13 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
                               jnp.where(acc_soc, armi_soc, armi_bt))
 
         # feasibility fallback when the filter rejects everything (cheap
-        # stand-in for IPOPT's restoration phase): Gauss-Newton step on
-        # ||c||^2, backtracking until the violation actually decreases.
+        # stand-in for IPOPT's restoration phase): a pure-feasibility Newton
+        # step from the SAME KKT factorization — rhs (0, -c) minimizes
+        # 1/2 dz^T (H + Sigma + delta I) dz s.t. J dz ~ -c, so the barrier
+        # curvature keeps the step off active bounds, and the extra solve
+        # costs O(N nb^2) instead of a fresh factorization.
         if m:
-            # weight by distance-to-bounds so the step does not push into
-            # active bounds (which would collapse the step cap to zero)
-            Dw = jnp.minimum(jnp.minimum(dl, du), 1.0)
-            A = J * Dw[None, :]
-            if cs is not None:
-                from .kkt import structured_feasibility_step
-                y_feas, _ = structured_feasibility_step(
-                    A, 1e-8 * wscale, cs, cz)
-                dz_feas = -Dw * y_feas
-            else:
-                AAt = A @ A.T + 1e-8 * wscale * jnp.eye(m, dtype=dtype)
-                dz_feas = -Dw * (A.T @ jnp.linalg.solve(AAt, cz))
+            dz_feas, _ = kkt_solve(fac, jnp.zeros((n,), dtype), -cz)
         else:
             dz_feas = jnp.zeros((n,), dtype)
         alpha_feas0 = jnp.minimum(max_step(dl, dz_feas, has_l),
