@@ -34,6 +34,30 @@ class Goal:
     # number of outputs in endpoint-constraint mode
     num_outputs: int = 1
 
+    def hessian_block_local(self) -> bool:
+        """True iff this goal's cost-mode ``value`` contributes no
+        cross-time-block curvature to the Lagrangian Hessian, i.e. it is
+        affine in the integral (whose integrand is per-grid-point) plus an
+        arbitrary function of border variables (t0, tf, parameters) and of
+        grid points within a SINGLE time block (e.g. only the initial or
+        only the final point). The structured KKT path
+        (solver/structured.py) compresses the Hessian assuming
+        block-diagonal + border sparsity; a goal that couples initial and
+        final points nonlinearly (PeriodicityGoal, AverageSpeedGoal in
+        cost mode) or applies a nonlinear function of the integral would
+        alias curvature into wrong blocks, so Transcription.kkt_structure
+        returns None (dense path) unless every cost goal reports True.
+
+        The base implementation is conservative: goals that do not
+        override :meth:`value` are affine in the integral (safe); any
+        override is assumed unsafe unless the subclass also overrides this
+        method (or sets ``_VALUE_BLOCK_LOCAL = True`` when its value reads
+        a single endpoint only).
+        """
+        if type(self).value is Goal.value:
+            return True
+        return bool(getattr(type(self), "_VALUE_BLOCK_LOCAL", False))
+
     def integrand(self, rep, t, y, x, lam, p):
         return jnp.zeros((), dtype=t.dtype)
 
@@ -80,6 +104,7 @@ class ControlGoal(Goal):
 class FinalTimeGoal(Goal):
     """Minimize final time (reference MocoFinalTimeGoal, MocoGoal.h)."""
     name: str = "final_time"
+    _VALUE_BLOCK_LOCAL = True  # value reads border vars (tf) only
 
     def value(self, rep, initial, final, integral, p):
         return final[0]
@@ -132,6 +157,7 @@ class MarkerFinalGoal(Goal):
     """Distance of a model station to a fixed point at final time
     (reference MocoMarkerFinalGoal)."""
     name: str = "marker_final"
+    _VALUE_BLOCK_LOCAL = True  # value reads the final grid point only
     body: int = 0
     location: tuple = (0.0, 0.0, 0.0)
     target: tuple = (0.0, 0.0, 0.0)
@@ -194,6 +220,7 @@ class InitialActivationGoal(Goal):
     """Penalize initial activations to prevent "free" initial activation
     (reference MocoInitialActivationGoal)."""
     name: str = "initial_activation"
+    _VALUE_BLOCK_LOCAL = True  # value reads the initial grid point only
 
     def value(self, rep, initial, final, integral, p):
         y0 = initial[1]
@@ -231,6 +258,11 @@ class CustomGoal(Goal):
     name: str = "custom"
     integrand_fn: Callable | None = None
     value_fn: Callable | None = None
+
+    def hessian_block_local(self):
+        # a user value_fn may couple initial/final points or be nonlinear
+        # in the integral — force the dense KKT path in that case
+        return self.value_fn is None
 
     def integrand(self, rep, t, y, x, lam, p):
         if self.integrand_fn is None:
@@ -512,6 +544,7 @@ class InitialVelocityEquilibriumDGFGoal(Goal):
     Requires implicit tendon dynamics (reads the initial tendon-force
     derivative variables from the iterate)."""
     name: str = "initial_velocity_equilibrium"
+    _VALUE_BLOCK_LOCAL = True  # value reads the initial grid point only
     mode: str = "endpoint_constraint"
 
     def auto_outputs(self, rep):
@@ -560,6 +593,7 @@ class InitialForceEquilibriumGoal(Goal):
     compliant-tendon muscles (reference MocoInitialForceEquilibriumGoal),
     usable in cost or endpoint-constraint mode."""
     name: str = "initial_force_equilibrium"
+    _VALUE_BLOCK_LOCAL = True  # value reads the initial grid point only
 
     def auto_outputs(self, rep):
         return sum(1 for m in rep.model.muscles

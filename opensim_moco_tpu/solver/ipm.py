@@ -74,12 +74,17 @@ class IPMOptions:
     s_phi: float = 2.3
     delta_switch: float = 1.0
     eta_phi: float = 1e-8
-    # KKT linear solver: "dense" (one LU of the full KKT; right for small
-    # batched problems on the MXU) or "structured" (bordered block-
-    # tridiagonal factorization over the time axis, O(N nb^3); requires the
-    # NLP to carry a KKTStructure — transcription NLPs do). "auto" picks
-    # structured when a structure is available and the KKT dimension is
-    # large enough for it to win.
+    # KKT derivative/linear-solver mode:
+    # * "dense": full opt-out from structure — exact jacfwd/hess_L autodiff
+    #   and one dense factorization of the KKT (no compressed block
+    #   derivatives), the escape hatch for problems violating the
+    #   block-sparsity contract;
+    # * "structured": compressed block derivatives + bordered block-
+    #   tridiagonal factorization over the time axis, O(N nb^3); requires
+    #   the NLP to carry a KKTStructure — transcription NLPs do;
+    # * "auto": compressed block derivatives whenever a structure is
+    #   available; block-tridiagonal factorization when the KKT dimension
+    #   is large enough for it to win, dense factorization otherwise.
     kkt: str = "auto"
     kkt_structured_min_dim: int = 1200
 
@@ -222,15 +227,18 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
 
     # ---- structured path. Two independent levers:
     # * compressed block DERIVATIVES (2-coloring Jacobian, 1-color Hessian):
-    #   used whenever a KKT structure exists — always a win (O(nv) tangents
-    #   instead of O(n));
+    #   used whenever a KKT structure exists AND kkt != "dense" — usually a
+    #   win (O(nv) tangents instead of O(n));
     # * block-tridiagonal FACTORIZATION: a `lax.scan` of small dense LUs,
     #   O(N nb^3) — wins over one dense O((n+m)^3) LU only when the problem
     #   is large enough to beat the scan's serialization (threshold
     #   kkt_structured_min_dim, override with kkt="structured"/"dense").
+    # kkt="dense" is a FULL opt-out: exact jacfwd/hess_L autodiff, no
+    # structure assumptions anywhere — the escape hatch for problems that
+    # violate the block-sparsity contract (see Transcription.kkt_structure).
     cs = None
     bd = None
-    if cs_full is not None:
+    if cs_full is not None and opt.kkt != "dense":
         from .structured import BlockDerivatives
         cs = cs_full.remap_free(free_idx) if has_fixed else cs_full
         bd = BlockDerivatives(cs, c_fn, f_fn)
@@ -415,6 +423,11 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
             def H_mv(v):
                 return block_H_matvec(hb, cs, v) + Sig * v
         else:
+            # one dense LU of the full KKT per regularization trial. XLA's
+            # batched pivoted LU is near-roofline on TPU at Moco-problem
+            # scale (measured on v5e: factor + 3 solves of (32, 377, 377)
+            # f32 = 0.13 ms) — a custom no-pivot factorization kernel buys
+            # nothing here, and larger problems take the BTB path above.
             from jax.scipy.linalg import lu_factor, lu_solve
             H = W + jnp.diag(Sig)
 

@@ -65,26 +65,23 @@ class BlockDerivatives:
         kv, kc = len(cs.bv), len(cs.bc)
         self.kv, self.kc = kv, kc
 
-        # ---- Jacobian seeds: 2-coloring over interval parity + border
+        # ---- seed construction (vectorized scatter; the masked (block,
+        # local-var) pairs index directly into the seed matrices)
+        bidx, jidx = np.nonzero(cs.Vm)  # masked (N, nv) entries
+        cols = cs.V[bidx, jidx]
+
+        # Jacobian seeds: 2-coloring over interval parity + border
         SJ = np.zeros((2 * nv + kv, n), np.float64)
-        for b in range(N):
-            p = b % 2
-            for j in range(nv):
-                if cs.Vm[b, j]:
-                    SJ[p * nv + j, cs.V[b, j]] = 1.0
-        for j in range(kv):
-            SJ[2 * nv + j, cs.bv[j]] = 1.0
+        SJ[(bidx % 2) * nv + jidx, cols] = 1.0
+        SJ[2 * nv + np.arange(kv), cs.bv] = 1.0
         self.SJ = SJ
 
-        # ---- Hessian seeds: single color (H is block-diagonal + border)
+        # Hessian seeds: single color (H is block-diagonal + border)
         SH = np.zeros((nv + kv, n), np.float64)
-        for b in range(N):
-            for j in range(nv):
-                if cs.Vm[b, j]:
-                    SH[j, cs.V[b, j]] = 1.0
-        for j in range(kv):
-            SH[nv + j, cs.bv[j]] = 1.0
+        SH[jidx, cols] = 1.0
+        SH[nv + np.arange(kv), cs.bv] = 1.0
         self.SH = SH
+        self._seed_cache = {}  # dtype -> (SJ, SH) device arrays
 
         # gather column maps (per block, per local var) into compressed cols
         i_arange = np.arange(N)
@@ -92,6 +89,13 @@ class BlockDerivatives:
                            np.arange(nv)[None, :])  # (N, nv)
         self.jcols_next = (((i_arange + 1) % 2)[:, None] * nv +
                            np.arange(nv)[None, :])
+
+    def _seeds(self, dtype):
+        key = jnp.dtype(dtype).name
+        if key not in self._seed_cache:
+            self._seed_cache[key] = (jnp.asarray(self.SJ, dtype),
+                                     jnp.asarray(self.SH, dtype))
+        return self._seed_cache[key]
 
     # ------------------------------------------------------------ Jacobian
     def jac_blocks(self, z):
@@ -105,7 +109,7 @@ class BlockDerivatives:
         """
         cs = self.cs
         dtype = z.dtype
-        SJ = jnp.asarray(self.SJ, dtype)
+        SJ, _ = self._seeds(dtype)
         Jc = jax.vmap(lambda s: jax.jvp(self.c_fn, (z,), (s,))[1])(SJ).T
         # exact border rows via reverse mode
         if self.kc:
@@ -153,7 +157,7 @@ class BlockDerivatives:
         """
         cs = self.cs
         dtype = z.dtype
-        SH = jnp.asarray(self.SH, dtype)
+        _, SH = self._seeds(dtype)
         g_of = lambda zz: lag_grad_fn(zz, nu)
         Hc = jax.vmap(lambda s: jax.jvp(g_of, (z,), (s,))[1])(SH).T  # (n, ncols)
         V = jnp.asarray(cs.V)

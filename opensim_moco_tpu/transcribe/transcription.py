@@ -610,11 +610,13 @@ class Transcription:
         factorization (O(N nb^3), the same sparsity the reference documents
         at CasOCTranscription.h:219-387 and hands to MUMPS inside IPOPT).
 
-        Validity requires that no cost-mode goal couples initial and final
-        points nonlinearly (endpoint-constraint goals are fine — their rows
-        live in the border); PeriodicityGoal/AverageSpeedGoal in cost mode
-        would break it, so we return None in that case and the solver falls
-        back to the dense path.
+        Validity requires that no cost-mode goal contributes cross-block
+        curvature (endpoint-constraint goals are fine — their rows live in
+        the border); each goal declares this via Goal.hessian_block_local()
+        (conservative default: any overridden ``value`` is unsafe), so e.g.
+        PeriodicityGoal/AverageSpeedGoal in cost mode or a CustomGoal with
+        a value_fn return None here and the solver falls back to the dense
+        path.
         """
         from ..solver.nlp import KKTStructure
 
@@ -622,7 +624,7 @@ class Transcription:
         if N < 2:
             return None
         for g in self.cost_goals:
-            if type(g).__name__ in ("PeriodicityGoal", "AverageSpeedGoal"):
+            if not g.hessian_block_local():
                 return None
         o = self.offsets
 
