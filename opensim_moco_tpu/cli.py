@@ -8,6 +8,7 @@ Usage:
     python -m opensim_moco_tpu run <study.json>
     python -m opensim_moco_tpu print-config <example-name>
     python -m opensim_moco_tpu run-example <example-name> [--out solution.sto]
+    python -m opensim_moco_tpu report <solution.sto> [--out report.pdf]
 """
 
 from __future__ import annotations
@@ -47,7 +48,25 @@ def main(argv=None):
     runj.add_argument("config", help="path to study .json")
     runj.add_argument("--out", default=None, help="solution .sto path")
 
+    rep = sub.add_parser("report", help="multi-page PDF trajectory report "
+                         "(the reference report.py utility)")
+    rep.add_argument("sto", nargs="+", help="solution/trajectory .sto files")
+    rep.add_argument("--out", default="report.pdf")
+    rep.add_argument("--reference", default=None,
+                     help="reference .sto overlaid behind the solutions")
+    rep.add_argument("--title", default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "report":
+        from .utils.report import generate_report
+        from .utils.tables import read_sto, sto_to_trajectory
+        trajs = [sto_to_trajectory(p) for p in args.sto]
+        ref = read_sto(args.reference) if args.reference else None
+        generate_report(trajs, args.out, labels=list(args.sto),
+                        reference=ref, title=args.title)
+        print(f"wrote {args.out}")
+        return 0
 
     if args.cmd == "run":
         from .utils.studyconfig import load_study

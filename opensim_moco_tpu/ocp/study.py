@@ -63,6 +63,38 @@ class Study:
             print(f"  {name:<28s} max |violation| = {v:.3e}")
         return rep_vals
 
+    def analyze(self, solution, outputs):
+        """Evaluate named output closures along a solution (reference
+        MocoStudy::analyze<T>, MocoStudy.h:140 / OpenSim analyze,
+        MocoUtilities.h:277).
+
+        ``outputs``: {column_name: fn(rep, t, y, x, lam, p) -> scalar or
+        (k,) vector} — the same signature as OutputGoal.output_fn. Returns
+        an StoTable (time x outputs) ready for write_sto / plotting.
+        """
+        from ..utils.tables import StoTable
+
+        tr = self.transcription()
+        rep = tr.rep
+        z = jnp.asarray(self._solution_iterate(tr, solution))
+        t0, tf, Y, X, L, D, Gm, pcs, ecs, theta = tr.unpack(z)
+        p = rep.apply_parameters(theta)
+        ts = tr._grid_times(t0, tf)
+        names, cols = [], []
+        for name, fn in outputs.items():
+            vals = jax.vmap(lambda t, y, x, lam: fn(rep, t, y, x, lam, p))(
+                ts, Y, X, L)
+            vals = np.asarray(jax.device_get(vals))
+            if vals.ndim == 1:
+                names.append(name)
+                cols.append(vals)
+            else:
+                for k in range(vals.shape[1]):
+                    names.append(f"{name}_{k}")
+                    cols.append(vals[:, k])
+        return StoTable(np.asarray(jax.device_get(ts)), names,
+                        np.stack(cols, axis=1), {"inDegrees": "no"})
+
     def create_guess(self, kind="bounds"):
         """Flat initial iterate (reference createGuess("bounds"),
         MocoCasADiSolver.cpp:51-73); also accepts a Trajectory via

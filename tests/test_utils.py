@@ -91,3 +91,28 @@ def test_rollout_matches_analytic_pendulum():
     # small-angle: theta(t) = 0.1 cos(sqrt(g/l) t)
     expected = 0.1 * np.cos(np.sqrt(9.81) * tg)
     np.testing.assert_allclose(np.asarray(ys[:, 0]), expected, atol=2.5e-3)
+
+
+def test_pdf_report(tmp_path):
+    """Report generation (reference Moco/Bindings/Python/report.py
+    analogue): multi-page PDF from the reference golden gait solution,
+    with bilateral grouping and a reference overlay."""
+    from opensim_moco_tpu.utils.report import generate_report
+
+    sol = sto_to_trajectory(REF_STO)
+    ref = read_sto(REF_STO)
+    out = tmp_path / "report.pdf"
+    generate_report(sol, str(out), labels=["solution"], reference=ref,
+                    title="gait inverse")
+    data = out.read_bytes()
+    assert data[:5] == b"%PDF-"
+    assert len(data) > 10_000
+
+
+def test_cli_report(tmp_path):
+    from opensim_moco_tpu.cli import main
+
+    out = tmp_path / "r.pdf"
+    rc = main(["report", REF_STO, "--out", str(out), "--title", "t"])
+    assert rc == 0
+    assert out.read_bytes()[:5] == b"%PDF-"
