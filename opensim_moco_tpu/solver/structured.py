@@ -91,11 +91,16 @@ class BlockDerivatives:
                            np.arange(nv)[None, :])
 
     def _seeds(self, dtype):
+        # cache the HOST dtype cast only; the jnp conversion must happen
+        # fresh per call — caching a device constant created inside one jit
+        # trace and reusing it in another is a tracer leak
         key = jnp.dtype(dtype).name
         if key not in self._seed_cache:
-            self._seed_cache[key] = (jnp.asarray(self.SJ, dtype),
-                                     jnp.asarray(self.SH, dtype))
-        return self._seed_cache[key]
+            npdt = np.dtype(key)
+            self._seed_cache[key] = (self.SJ.astype(npdt),
+                                     self.SH.astype(npdt))
+        SJ, SH = self._seed_cache[key]
+        return jnp.asarray(SJ), jnp.asarray(SH)
 
     # ------------------------------------------------------------ Jacobian
     def jac_blocks(self, z):
