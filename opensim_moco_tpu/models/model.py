@@ -399,14 +399,18 @@ class Model:
 
     # names --------------------------------------------------------------
     def coordinate_paths(self):
-        """Moco-style absolute paths per coordinate."""
+        """Moco-style absolute paths per coordinate, in mech coordinate
+        order (multi-coordinate CustomJoints contribute one path per
+        coordinate)."""
         paths = []
-        k = 0
         for j in self.mech.joints:
             if j.kind == "weld":
                 continue
-            paths.append(f"/jointset/{j.label or j.name}/{j.coord_name}")
-            k += 1
+            base = f"/jointset/{j.label or j.name}"
+            if j.kind == "custom" and j.coord_names:
+                paths.extend(f"{base}/{cn}" for cn in j.coord_names)
+            else:
+                paths.append(f"{base}/{j.coord_name}")
         return paths
 
     def state_names(self):

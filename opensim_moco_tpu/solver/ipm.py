@@ -87,6 +87,16 @@ class IPMOptions:
     #   is large enough for it to win, dense factorization otherwise.
     kkt: str = "auto"
     kkt_structured_min_dim: int = 1200
+    # dense-path factorization:
+    # * "lu": one pivoted LU of the full (n+m) KKT;
+    # * "chol-schur": Cholesky of Hd = H + Sigma + delta I and of the Schur
+    #   complement J Hd^-1 J^T + delta_c I — pivot-free, and the heavy ops
+    #   (triangular solve with m right-hand sides, Y^T Y) are matmuls that
+    #   ride the TPU MXU, unlike LU's sequential pivoted panels. Requires
+    #   Hd positive definite: an indefinite trial produces NaNs, which the
+    #   inertia-free regularization loop already treats as "escalate
+    #   delta" — the same effect as IPOPT's inertia correction.
+    dense_factorization: str = "lu"
 
 
 class IPMResult(NamedTuple):
@@ -140,6 +150,9 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
     if opt.kkt not in ("auto", "dense", "structured"):
         raise ValueError(f"kkt must be auto|dense|structured, got "
                          f"{opt.kkt!r}")
+    if opt.dense_factorization not in ("lu", "chol-schur"):
+        raise ValueError(f"dense_factorization must be lu|chol-schur, got "
+                         f"{opt.dense_factorization!r}")
     structure_full = nlp.structure
     cs_full = None
     if nlp.m and structure_full is not None:
@@ -422,12 +435,49 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
 
             def H_mv(v):
                 return block_H_matvec(hb, cs, v) + Sig * v
+        elif opt.dense_factorization == "chol-schur":
+            # pivot-free quasi-definite factorization: Lh = chol(Hd),
+            # Y = Lh^-1 J^T (a triangular solve with m right-hand sides —
+            # a matmul-shaped op the MXU tiles), S = Y^T Y + delta_c I,
+            # Ls = chol(S). Indefinite Hd -> NaN -> the reg loop escalates
+            # delta, exactly like an IPOPT inertia correction.
+            tri = jax.lax.linalg.triangular_solve
+            H = W + jnp.diag(Sig)
+
+            def kkt_factor(delta_w):
+                delta_c = 1e-8 * wscale
+                Hd = H + delta_w * jnp.eye(n, dtype=dtype)
+                Lh = jnp.linalg.cholesky(Hd)
+                if m:
+                    Y = tri(Lh, J.T, left_side=True, lower=True)
+                    S = Y.T @ Y + delta_c * jnp.eye(m, dtype=dtype)
+                    Ls = jnp.linalg.cholesky(S)
+                else:
+                    Y = jnp.zeros((n, 0), dtype)
+                    Ls = jnp.zeros((0, 0), dtype)
+                return (Lh, Y, Ls)
+
+            def kkt_solve(fac, r1, r2):
+                Lh, Y, Ls = fac
+                w = tri(Lh, r1[:, None], left_side=True, lower=True)
+                if m:
+                    # (J Hd^-1 J^T + dc I) dnu = Y^T w - r2
+                    rhs = (Y.T @ w)[:, 0] - r2
+                    t = tri(Ls, rhs[:, None], left_side=True, lower=True)
+                    dnu = tri(Ls, t, left_side=True, lower=True,
+                              transpose_a=True)[:, 0]
+                    dz = tri(Lh, w - Y @ dnu[:, None], left_side=True,
+                             lower=True, transpose_a=True)[:, 0]
+                else:
+                    dnu = jnp.zeros((0,), dtype)
+                    dz = tri(Lh, w, left_side=True, lower=True,
+                             transpose_a=True)[:, 0]
+                return dz, dnu
+
+            def H_mv(v):
+                return H @ v
         else:
-            # one dense LU of the full KKT per regularization trial. XLA's
-            # batched pivoted LU is near-roofline on TPU at Moco-problem
-            # scale (measured on v5e: factor + 3 solves of (32, 377, 377)
-            # f32 = 0.13 ms) — a custom no-pivot factorization kernel buys
-            # nothing here, and larger problems take the BTB path above.
+            # one dense pivoted LU of the full KKT per regularization trial
             from jax.scipy.linalg import lu_factor, lu_solve
             H = W + jnp.diag(Sig)
 
