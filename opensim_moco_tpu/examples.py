@@ -159,14 +159,78 @@ def hanging_muscle_study(num_mesh_intervals=25,
     return study
 
 
+def _gait2d_symmetry_goal(model):
+    """Half-cycle symmetry pairs shared by gaitTracking and gaitPrediction
+    (example2DWalking.cpp:84-131 and :228-275)."""
+    state_pairs = []
+    for c in model.coordinate_paths():
+        cname = c.split("/")[-1]
+        for suffix in ("/value", "/speed"):
+            if cname.endswith("_r"):
+                state_pairs.append((c + suffix,
+                                    c.replace("_r", "_l") + suffix, False))
+            elif cname.endswith("_l"):
+                state_pairs.append((c + suffix,
+                                    c.replace("_l", "_r") + suffix, False))
+            elif not cname.endswith("_tx"):
+                state_pairs.append((c + suffix, c + suffix, False))
+    state_pairs.append(("/jointset/groundPelvis/pelvis_tx/speed",
+                        "/jointset/groundPelvis/pelvis_tx/speed", False))
+    for m in model.muscles:
+        a = f"/forceset/{m.name}/activation"
+        if m.name.endswith("_r"):
+            state_pairs.append((a, a.replace("_r", "_l"), False))
+        elif m.name.endswith("_l"):
+            state_pairs.append((a, a.replace("_l", "_r"), False))
+    return PeriodicityGoal(name="symmetry", state_pairs=tuple(state_pairs),
+                           control_pairs=(("/forceset/lumbarAct",
+                                           "/forceset/lumbarAct", False),))
+
+
+def _gait2d_state_bounds(prob):
+    """Coordinate bounds shared by gaitTracking and gaitPrediction
+    (example2DWalking.cpp:154-170 and :282-303)."""
+    d = np.pi / 180
+    prob.set_state_info("/jointset/groundPelvis/pelvis_tilt/value",
+                        (-20 * d, -10 * d))
+    prob.set_state_info("/jointset/groundPelvis/pelvis_tx/value", (0, 1))
+    prob.set_state_info("/jointset/groundPelvis/pelvis_ty/value",
+                        (0.75, 1.25))
+    for s in ("l", "r"):
+        prob.set_state_info(f"/jointset/hip_{s}/hip_flexion_{s}/value",
+                            (-10 * d, 60 * d))
+        prob.set_state_info(f"/jointset/knee_{s}/knee_angle_{s}/value",
+                            (-50 * d, 0))
+        prob.set_state_info(f"/jointset/ankle_{s}/ankle_angle_{s}/value",
+                            (-15 * d, 25 * d))
+    prob.set_state_info("/jointset/lumbar/lumbar/value", (0, 20 * d))
+
+
+def _gait2d_grf_reference():
+    """referenceGRF.sto -> {"Right_GRF"/"Left_GRF": (times, (K,3) forces)}
+    for ContactTrackingGoal (example2DWalking.cpp:138-146 tracks
+    ground_force_{r,l}_v{x,y,z} with the heel+front sphere groups)."""
+    from .utils.tables import read_sto
+
+    grf = read_sto(f"{REF_2DWALK}/referenceGRF.sto")
+    times = np.asarray(grf.time)
+    ref = {}
+    for side, key in (("r", "Right_GRF"), ("l", "Left_GRF")):
+        ref[key] = (times, np.stack(
+            [grf.column(f"ground_force_{side}_v{ax}") for ax in "xyz"],
+            axis=1))
+    return ref
+
+
 def gait2d_tracking_study(num_mesh_intervals=50, state_tracking_weight=10.0,
                           control_effort_weight=10.0, tol=1e-4,
-                          max_iterations=1000):
+                          max_iterations=1000, grf_tracking_weight=1.0):
     """example2DWalking MocoTrack (reference
     Moco/Examples/C++/example2DWalking/example2DWalking.cpp:55-185
     gaitTracking): 10-DOF, 18-muscle gait tracking over half a gait cycle
-    with contact spheres and half-cycle symmetry (periodicity) constraints.
-    GRF tracking (GRFTrackingWeight) is not yet wired in.
+    with contact spheres, half-cycle symmetry (periodicity) constraints,
+    and GRF tracking (GRFTrackingWeight, example2DWalking.cpp:138-146;
+    pass 0 to disable like the reference).
 
     Returns (study, guess)."""
     import jax.numpy as jnp
@@ -191,50 +255,57 @@ def gait2d_tracking_study(num_mesh_intervals=50, state_tracking_weight=10.0,
     prob = study.problem
 
     # half-cycle symmetry (example2DWalking.cpp:84-131)
-    state_pairs = []
-    cpaths = model.coordinate_paths()
-    for c in cpaths:
-        cname = c.split("/")[-1]
-        for suffix in ("/value", "/speed"):
-            if cname.endswith("_r"):
-                state_pairs.append((c + suffix,
-                                    c.replace("_r", "_l") + suffix, False))
-            elif cname.endswith("_l"):
-                state_pairs.append((c + suffix,
-                                    c.replace("_l", "_r") + suffix, False))
-            elif not cname.endswith("_tx"):
-                state_pairs.append((c + suffix, c + suffix, False))
-    state_pairs.append(("/jointset/groundPelvis/pelvis_tx/speed",
-                        "/jointset/groundPelvis/pelvis_tx/speed", False))
-    for m in model.muscles:
-        a = f"/forceset/{m.name}/activation"
-        if m.name.endswith("_r"):
-            state_pairs.append((a, a.replace("_r", "_l"), False))
-        elif m.name.endswith("_l"):
-            state_pairs.append((a, a.replace("_l", "_r"), False))
-    goal = PeriodicityGoal(name="symmetry", state_pairs=tuple(state_pairs),
-                           control_pairs=(("/forceset/lumbarAct",
-                                           "/forceset/lumbarAct", False),))
-    prob.add_goal(goal)
+    prob.add_goal(_gait2d_symmetry_goal(model))
+
+    # GRF tracking (example2DWalking.cpp:138-146)
+    if grf_tracking_weight:
+        from .ocp import ContactTrackingGoal
+        prob.add_goal(ContactTrackingGoal(
+            name="contact", weight=grf_tracking_weight,
+            groups=((("contactHeel_r", "contactFront_r"), "Right_GRF"),
+                    (("contactHeel_l", "contactFront_l"), "Left_GRF")),
+            reference=_gait2d_grf_reference()))
 
     # bounds (example2DWalking.cpp:154-170)
-    d = np.pi / 180
-    prob.set_state_info("/jointset/groundPelvis/pelvis_tilt/value",
-                        (-20 * d, -10 * d))
-    prob.set_state_info("/jointset/groundPelvis/pelvis_tx/value", (0, 1))
-    prob.set_state_info("/jointset/groundPelvis/pelvis_ty/value",
-                        (0.75, 1.25))
-    for s in ("l", "r"):
-        prob.set_state_info(f"/jointset/hip_{s}/hip_flexion_{s}/value",
-                            (-10 * d, 60 * d))
-        prob.set_state_info(f"/jointset/knee_{s}/knee_angle_{s}/value",
-                            (-50 * d, 0))
-        prob.set_state_info(f"/jointset/ankle_{s}/ankle_angle_{s}/value",
-                            (-15 * d, 25 * d))
-    prob.set_state_info("/jointset/lumbar/lumbar/value", (0, 20 * d))
+    _gait2d_state_bounds(prob)
 
     guess = track.make_guess(study)
     return study, guess
+
+
+def gait2d_prediction_study(num_mesh_intervals=50, desired_speed=1.2,
+                            effort_weight=10.0, tol=1e-4,
+                            max_iterations=1000):
+    """example2DWalking gaitPrediction (reference
+    example2DWalking.cpp:206-320): de-novo gait prediction — minimize
+    cubed control effort over distance subject to half-cycle symmetry and
+    a prescribed 1.2 m/s average speed (endpoint constraint), with no
+    tracking data. Warm-start from a gaitTracking solution like the
+    reference (solver.setGuess(gaitTrackingSolution), :314-315).
+
+    Returns the configured Study."""
+    from .utils.osim import parse_osim
+
+    model, info = parse_osim(f"{REF_2DWALK}/2D_gait.osim")
+    model.finalize()
+
+    prob = Problem(model)
+    prob.set_time_bounds(0, (0.4, 0.6))
+    prob.add_goal(_gait2d_symmetry_goal(model))
+    from .ocp.goals import AverageSpeedGoal
+    prob.add_goal(AverageSpeedGoal(name="speed", use_com=True,
+                                   desired_speed=desired_speed,
+                                   mode="endpoint_constraint"))
+    prob.add_goal(ControlGoal(name="effort", weight=effort_weight,
+                              exponent=3, divide_by_displacement=True))
+    _gait2d_state_bounds(prob)
+
+    study = Study(prob)
+    study.set_solver_options(transcription_scheme="hermite-simpson",
+                             num_mesh_intervals=num_mesh_intervals)
+    study.set_ipm_options(tol=tol, max_iter=max_iterations,
+                          hessian_approximation="objective-only")
+    return study
 
 
 REF_TESTS = "/root/reference/Moco/Tests"

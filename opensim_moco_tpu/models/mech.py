@@ -291,6 +291,20 @@ class MechModel:
                 out.append(o + A.T @ loc)
         return jnp.stack(out)
 
+    def mass_center(self, p, q):
+        """System center of mass in world coordinates (the reference's
+        Model::calcMassCenterPosition, used by MocoGoal's
+        divide-by-displacement normalization, MocoGoal.cpp:49-57)."""
+        frames = self.frames(p, q)
+        total = jnp.zeros((), dtype=q.dtype)
+        com = jnp.zeros(3, dtype=q.dtype)
+        for i in range(self.nb):
+            mi = p["mass"][i].astype(q.dtype)
+            A, o = frames[i]
+            com = com + mi * (o + A.T @ p["com"][i].astype(q.dtype))
+            total = total + mi
+        return com / jnp.maximum(total, 1e-12)
+
     def station_velocity(self, p, q, u, body: int, location):
         """World-frame velocity of a station via jvp of its position."""
         pos = lambda qq: self.station_position(p, qq, body, location)

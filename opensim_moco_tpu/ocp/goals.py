@@ -82,6 +82,28 @@ class ControlGoal(Goal):
     exponent: int = 2
     control_weights: dict = dataclasses.field(default_factory=dict)
     pattern_weights: dict = dataclasses.field(default_factory=dict)
+    # MocoControlGoal::setDivideByDisplacement: normalize the integral by
+    # the system COM displacement norm (MocoGoal.cpp:49-57) — "effort over
+    # distance" in predictive gait problems (example2DWalking.cpp:278-280).
+    divide_by_displacement: bool = False
+
+    def value(self, rep, initial, final, integral, p):
+        val = Goal.value(self, rep, initial, final, integral, p)
+        if self.divide_by_displacement:
+            m = rep.model
+            q0 = initial[1][:m.mech.nq]
+            qf = final[1][:m.mech.nq]
+            mech_p = p["mech"] if isinstance(p, dict) and "mech" in p else p
+            d = jnp.linalg.norm(m.mech.mass_center(mech_p, qf) -
+                                m.mech.mass_center(mech_p, q0))
+            val = val / jnp.maximum(d, 1e-9)
+        return val
+
+    def hessian_block_local(self) -> bool:
+        # dividing the integral by a nonlinear function of the endpoint
+        # states couples every time block's curvature with the first/last
+        # blocks -> must fall back to the dense KKT path
+        return not self.divide_by_displacement
 
     def _weights(self, control_names):
         w = np.ones(len(control_names))
@@ -240,11 +262,23 @@ class AverageSpeedGoal(Goal):
     mode: str = "endpoint_constraint"
     coord: int = 0
     desired_speed: float = 0.0
+    # reference semantics: speed = |COM displacement| / duration
+    # (MocoGoal.h:437-439); coord mode keeps a cheaper single-coordinate
+    # variant for planar problems
+    use_com: bool = False
 
     def values(self, rep, initial, final, p):
         t0, y0 = initial[0], initial[1]
         tf, yf = final[0], final[1]
-        avg = (yf[self.coord] - y0[self.coord]) / (tf - t0)
+        if self.use_com:
+            m = rep.model
+            mech_p = p["mech"] if isinstance(p, dict) and "mech" in p else p
+            d = jnp.linalg.norm(
+                m.mech.mass_center(mech_p, yf[:m.mech.nq]) -
+                m.mech.mass_center(mech_p, y0[:m.mech.nq]))
+            avg = d / (tf - t0)
+        else:
+            avg = (yf[self.coord] - y0[self.coord]) / (tf - t0)
         return jnp.stack([avg - self.desired_speed])
 
     def value(self, rep, initial, final, integral, p):

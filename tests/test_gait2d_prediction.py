@@ -1,0 +1,59 @@
+"""gaitPrediction (example2DWalking.cpp:206-320) + GRF tracking wiring
+(example2DWalking.cpp:138-146) + COM utilities backing them."""
+
+import numpy as np
+import pytest
+
+from opensim_moco_tpu.examples import (gait2d_prediction_study,
+                                       gait2d_tracking_study)
+from opensim_moco_tpu.models import MechModelBuilder
+
+
+def test_mass_center_point_mass():
+    import jax.numpy as jnp
+
+    b = MechModelBuilder(gravity=(0.0, -9.81, 0.0))
+    b.add_body("m1", mass=2.0, com=(0.1, 0.0, 0.0), joint_name="sx",
+               kind="prismatic", axis=(1, 0, 0), coord_name="x")
+    mech = b.finalize()
+    p = mech.default_params()
+    q = jnp.asarray([0.3])
+    com = np.asarray(mech.mass_center(p, q))
+    # slider along x: body origin at x=0.3, com offset +0.1
+    np.testing.assert_allclose(com, [0.4, 0.0, 0.0], atol=1e-12)
+
+
+def test_prediction_problem_builds_and_evaluates():
+    import jax.numpy as jnp
+
+    study = gait2d_prediction_study(num_mesh_intervals=4)
+    tr = study.transcription()
+    nlp = tr.make_nlp()
+    z0 = tr.initial_guess()
+    f = nlp.objective(jnp.asarray(z0))
+    c = nlp.constraints(jnp.asarray(z0))
+    assert np.isfinite(float(f))
+    assert bool(jnp.all(jnp.isfinite(c)))
+    names = [n for n, _ in tr.constraint_group_info()]
+    assert "endpoint:symmetry" in names
+    # average-speed endpoint constraint present
+    assert any("speed" in n for n in names)
+    # divide-by-displacement effort goal forces the dense-Hessian path
+    assert tr.kkt_structure() is None
+
+
+def test_grf_tracking_goal_in_tracking_study():
+    import jax.numpy as jnp
+
+    study, guess = gait2d_tracking_study(num_mesh_intervals=4,
+                                         grf_tracking_weight=1.0)
+    names = [g.name for g in study.problem.goals]
+    assert "contact" in names
+    tr = study.transcription()
+    nlp = tr.make_nlp()
+    f = nlp.objective(jnp.asarray(guess))
+    assert np.isfinite(float(f))
+    # weight 0 disables the goal like the reference (GRFTrackingWeight=0)
+    study0, _ = gait2d_tracking_study(num_mesh_intervals=4,
+                                      grf_tracking_weight=0.0)
+    assert "contact" not in [g.name for g in study0.problem.goals]
