@@ -61,6 +61,10 @@ class IPMOptions:
     # factor * tol of the KKT conditions; the best iterate seen is returned
     acceptable_tol_factor: float = 100.0  # IPOPT: acceptable_tol/tol = 100
     acceptable_iter: int = 15
+    # non-monotone mu rescues per solve (see body_fn): unlimited rescues
+    # let hard lanes limit-cycle between mu pump-up and decrease, pinning
+    # their KKT error near mu_init forever
+    max_rescues: int = 4
     # "exact": Lagrangian Hessian via forward-over-reverse autodiff.
     # "objective-only": drop constraint curvature (Gauss-Newton-flavored;
     # the reference runs IPOPT with limited-memory BFGS by default,
@@ -127,6 +131,7 @@ class Carry(NamedTuple):
     best_nu: jnp.ndarray
     best_kkt: jnp.ndarray
     acceptable_count: jnp.ndarray
+    rescue_count: jnp.ndarray
 
 
 def _inf_norm(x):
@@ -333,7 +338,8 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
                      filter_count=fcount, theta_scale=theta_scale,
                      best_z=z, best_nu=jnp.zeros((m,), dtype),
                      best_kkt=jnp.asarray(jnp.inf, dtype),
-                     acceptable_count=jnp.zeros((), jnp.int32))
+                     acceptable_count=jnp.zeros((), jnp.int32),
+                     rescue_count=jnp.zeros((), jnp.int32))
 
     def body_fn(carry: Carry) -> Carry:
         z, nu, wL, wU, mu = carry.z, carry.nu, carry.wL, carry.wU, carry.mu
@@ -345,8 +351,12 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         g = grad_f(z)
         cz = c_fn(z)
         dl, du = _dl_du(z, dtype)
-        SigL = jnp.where(has_l, wL / dl, 0.0)
-        SigU = jnp.where(has_u, wU / du, 0.0)
+        # f32 rounding can land an iterate exactly on a relaxed bound;
+        # clamp the slacks used in divisions so duals stay finite
+        dls = jnp.maximum(dl, 1e-20)
+        dus = jnp.maximum(du, 1e-20)
+        SigL = jnp.where(has_l, wL / dls, 0.0)
+        SigU = jnp.where(has_u, wU / dus, 0.0)
         Sig = SigL + SigU
 
         if cs is not None:
@@ -410,11 +420,11 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         fphi = jnp.where(mu_changed, fp0, carry.filter_phi)
         fcount = jnp.where(mu_changed, fc0, carry.filter_count)
 
-        rhs1 = -(g + Jt_nu) + jnp.where(has_l, mu_new / dl, 0.0) - \
-            jnp.where(has_u, mu_new / du, 0.0)
+        rhs1 = -(g + Jt_nu) + jnp.where(has_l, mu_new / dls, 0.0) - \
+            jnp.where(has_u, mu_new / dus, 0.0)
         rhs2 = -cz
-        gphi = g - jnp.where(has_l, mu_new / dl, 0.0) + \
-            jnp.where(has_u, mu_new / du, 0.0)
+        gphi = g - jnp.where(has_l, mu_new / dls, 0.0) + \
+            jnp.where(has_u, mu_new / dus, 0.0)
 
         wscale = jnp.maximum(1.0, _inf_norm(h_diag + Sig))
 
@@ -529,8 +539,8 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         delta, dz, dnu, ok, _, fac = jax.lax.while_loop(reg_cond, reg_body,
                                                         init_state)
 
-        dwL = jnp.where(has_l, mu_new / dl - wL - SigL * dz, 0.0)
-        dwU = jnp.where(has_u, mu_new / du - wU + SigU * dz, 0.0)
+        dwL = jnp.where(has_l, mu_new / dls - wL - SigL * dz, 0.0)
+        dwU = jnp.where(has_u, mu_new / dus - wU + SigU * dz, 0.0)
 
         tau = jnp.maximum(opt.tau_min, 1.0 - mu_new)
 
@@ -666,6 +676,8 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
 
         nu_new = nu + alpha * dnu
         dl_n, du_n = _dl_du(z_new, dtype)
+        dl_ns = jnp.maximum(dl_n, 1e-20)
+        du_ns = jnp.maximum(du_n, 1e-20)
         # Newton step taken: usual dual update. Fallback step taken: the
         # primal moved without its duals, so re-center bound duals on the
         # central path (IPOPT does the same when leaving restoration);
@@ -673,26 +685,58 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         # explodes the dual residual).
         mu_fb = jnp.minimum(jnp.asarray(opt.mu_init, dtype), mu_new * 10.0)
         wL_new = jnp.where(any_acc, wL + alpha_du * dwL,
-                           jnp.where(feas_ok, mu_fb / dl_n, wL))
+                           jnp.where(feas_ok, mu_fb / dl_ns, wL))
         wU_new = jnp.where(any_acc, wU + alpha_du * dwU,
-                           jnp.where(feas_ok, mu_fb / du_n, wU))
+                           jnp.where(feas_ok, mu_fb / du_ns, wU))
         ks = opt.kappa_sigma
-        wL_new = jnp.where(has_l, jnp.clip(wL_new, mu_new / (ks * dl_n),
-                                           ks * mu_new / dl_n), 0.0)
-        wU_new = jnp.where(has_u, jnp.clip(wU_new, mu_new / (ks * du_n),
-                                           ks * mu_new / du_n), 0.0)
+        wL_new = jnp.where(has_l, jnp.clip(wL_new, mu_new / (ks * dl_ns),
+                                           ks * mu_new / dl_ns), 0.0)
+        wU_new = jnp.where(has_u, jnp.clip(wU_new, mu_new / (ks * du_ns),
+                                           ks * mu_new / du_ns), 0.0)
+
+        # ---- divergence recovery: if the iterate or its duals went
+        # non-finite (dual blow-up near a bound, NaN physics off the
+        # feasible manifold), restart from the best iterate seen with
+        # mu-centered duals instead of burning the remaining iterations on
+        # a poisoned lane (a cheap stand-in for IPOPT's restoration phase
+        # that the filter fallback cannot reach once z itself is NaN).
+        finite_ok = (jnp.all(jnp.isfinite(z_new)) &
+                     jnp.all(jnp.isfinite(nu_new)) &
+                     jnp.all(jnp.isfinite(wL_new)) &
+                     jnp.all(jnp.isfinite(wU_new)))
+        have_best = jnp.isfinite(carry.best_kkt)
+        z_rec = jnp.where(have_best, carry.best_z, z)
+        z_new = jnp.where(finite_ok, z_new, z_rec)
+        nu_new = jnp.where(finite_ok, nu_new,
+                           jnp.where(have_best, carry.best_nu, nu))
+        dl_r, du_r = _dl_du(z_new, dtype)
+        mu_ctr = jnp.minimum(jnp.asarray(opt.mu_init, dtype), mu_new * 10.0)
+        wL_new = jnp.where(finite_ok, wL_new,
+                           jnp.where(has_l, mu_ctr /
+                                     jnp.maximum(dl_r, 1e-20), 0.0))
+        wU_new = jnp.where(finite_ok, wU_new,
+                           jnp.where(has_u, mu_ctr /
+                                     jnp.maximum(du_r, 1e-20), 0.0))
+        ftheta_new = jnp.where(finite_ok, ftheta_new, ft0)
+        fphi_new = jnp.where(finite_ok, fphi_new, fp0)
+        fcount_new = jnp.where(finite_ok, fcount_new, fc0)
 
         # mu rescue (non-monotone barrier): a rejected Newton step usually
         # means the iterate slammed into bounds after mu raced ahead;
         # re-centering with a larger mu pulls it back off (cf. adaptive-mu
         # strategies, Nocedal/Waechter/Waltz). Near the solution (already
         # at acceptable KKT level) rescuing only causes limit cycles, so
-        # hold mu there and let the acceptable-level exit fire.
+        # hold mu there and let the acceptable-level exit fire; a per-solve
+        # rescue budget (max_rescues) stops hard lanes from cycling between
+        # pump-up and decrease forever.
         near_solution = e0 <= acc_tol
-        mu_rescued = jnp.where(any_acc | near_solution, mu_new,
+        allow_rescue = carry.rescue_count < opt.max_rescues
+        mu_rescued = jnp.where((any_acc | near_solution | ~allow_rescue) &
+                               finite_ok, mu_new,
                                jnp.minimum(jnp.asarray(opt.mu_init, dtype),
                                            mu_new * 10.0))
-        rescue = (~any_acc) & (mu_rescued != mu_new)
+        rescue = mu_rescued != mu_new
+        rescue_count = carry.rescue_count + jnp.where(rescue, 1, 0)
         ftheta_new = jnp.where(rescue, ft0, ftheta_new)
         fphi_new = jnp.where(rescue, fp0, fphi_new)
         fcount_new = jnp.where(rescue, fc0, fcount_new)
@@ -719,7 +763,8 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
             filter_count=jnp.where(keep, carry.filter_count, fcount_new),
             theta_scale=carry.theta_scale,
             best_z=best_z, best_nu=best_nu, best_kkt=best_kkt,
-            acceptable_count=acceptable_count)
+            acceptable_count=acceptable_count,
+            rescue_count=jnp.where(keep, carry.rescue_count, rescue_count))
 
     def cond_fn(carry: Carry):
         return (~carry.converged) & (carry.it < opt.max_iter)
