@@ -264,7 +264,9 @@ def gait2d_tracking_study(num_mesh_intervals=50, state_tracking_weight=10.0,
             name="contact", weight=grf_tracking_weight,
             groups=((("contactHeel_r", "contactFront_r"), "Right_GRF"),
                     (("contactHeel_l", "contactFront_l"), "Left_GRF")),
-            reference=_gait2d_grf_reference()))
+            reference=_gait2d_grf_reference(),
+            # sagittal-plane projection (example2DWalking.cpp:149-151)
+            projection="plane", projection_vector=(0.0, 0.0, 1.0)))
 
     # bounds (example2DWalking.cpp:154-170)
     _gait2d_state_bounds(prob)
@@ -275,15 +277,21 @@ def gait2d_tracking_study(num_mesh_intervals=50, state_tracking_weight=10.0,
 
 def gait2d_prediction_study(num_mesh_intervals=50, desired_speed=1.2,
                             effort_weight=10.0, tol=1e-4,
-                            max_iterations=1000):
+                            max_iterations=1000, guess=None):
     """example2DWalking gaitPrediction (reference
     example2DWalking.cpp:206-320): de-novo gait prediction — minimize
     cubed control effort over distance subject to half-cycle symmetry and
     a prescribed 1.2 m/s average speed (endpoint constraint), with no
-    tracking data. Warm-start from a gaitTracking solution like the
-    reference (solver.setGuess(gaitTrackingSolution), :314-315).
+    tracking data.
 
-    Returns the configured Study."""
+    Pass ``guess`` (a Trajectory from gait2d_tracking_study's solution, or
+    a z-vector) to Study.solve — the reference warm-starts from the
+    gaitTracking solution (solver.setGuess(...), example2DWalking.cpp:
+    314-315), and a displacement-nonzero guess is effectively required:
+    the cold bounds guess has zero COM displacement, where the
+    effort-over-distance normalization is ill-conditioned.
+
+    Returns (study, guess) — guess is None when not supplied."""
     from .utils.osim import parse_osim
 
     model, info = parse_osim(f"{REF_2DWALK}/2D_gait.osim")
@@ -305,10 +313,62 @@ def gait2d_prediction_study(num_mesh_intervals=50, desired_speed=1.2,
                              num_mesh_intervals=num_mesh_intervals)
     study.set_ipm_options(tol=tol, max_iter=max_iterations,
                           hessian_approximation="objective-only")
-    return study
+    if guess is not None and not hasattr(guess, "shape"):
+        # a Trajectory (e.g. a tracking Solution): resample onto this grid
+        guess = study.transcription().guess_from_trajectory(guess)
+    return study, guess
 
 
 REF_TESTS = "/root/reference/Moco/Tests"
+REF_ARCHIVE = "/root/reference/Moco/Archive/Tests"
+
+
+def gait1018_track_tool(mesh_interval=0.02, initial_time=0.01,
+                        final_time=1.3, tol=1e-2,
+                        apply_tracked_states_to_guess=True):
+    """MocoTrack gait10dof18musc flagship (reference
+    Moco/Tests/testMocoTrack.cpp:46-66): torque-driven planar 10-DoF gait
+    model (ModOpRemoveMuscles + ModOpAddReserves(100)), measured GRFs as
+    external loads, tracking 6 Hz low-passed coordinate values over
+    [0.01, 1.3] s at mesh interval 0.02 (MocoTool.cpp:27). The golden
+    regression bar is controls/states RMS < 1e-2 vs
+    std_testMocoTrackGait10dof18musc_solution.sto.
+
+    Returns the configured Track tool (call .solve() or .build_study())."""
+    from .tools.track import Track
+    from .utils.osim import parse_external_loads, parse_osim
+    from .utils.processors import (ModOpAddReserves, ModOpRemoveMuscles,
+                                   filter_lowpass)
+    from .utils.tables import read_sto
+
+    model, info = parse_osim(
+        f"{REF_ARCHIVE}/testGait10dof18musc_subject01.osim")
+    model = ModOpRemoveMuscles()(model)
+    model = ModOpAddReserves(100.0)(model)
+    for s in parse_external_loads(
+            f"{REF_TESTS}/walk_gait1018_subject01_grf.xml"):
+        model.add_external_force(s["name"],
+                                 info["body_idx"][s["body_name"]],
+                                 s["force_fn"], s["point_fn"],
+                                 s["torque_fn"])
+    model.finalize()
+
+    # states reference: 6 Hz low-pass (testMocoTrack.cpp:54-55), deg->rad
+    ref = filter_lowpass(
+        read_sto(f"{REF_TESTS}/walk_gait1018_state_reference.mot"), 6.0)
+    times = np.asarray(ref.time)
+    data = {}
+    translational = {"pelvis_tx", "pelvis_ty", "pelvis_tz"}
+    for cp in model.coordinate_paths():
+        col = np.asarray(ref.column(f"{cp}/value"))
+        if ref.in_degrees() and cp.split("/")[-1] not in translational:
+            col = np.deg2rad(col)
+        data[f"{cp}/value"] = col
+
+    return Track(model=model, states_reference=(times, data),
+                 initial_time=initial_time, final_time=final_time,
+                 mesh_interval=mesh_interval, convergence_tolerance=tol,
+                 apply_tracked_states_to_guess=apply_tracked_states_to_guess)
 
 
 def gait_inverse_study(mesh_interval=0.05, initial_time=0.45,

@@ -94,9 +94,13 @@ class ControlGoal(Goal):
             q0 = initial[1][:m.mech.nq]
             qf = final[1][:m.mech.nq]
             mech_p = p["mech"] if isinstance(p, dict) and "mech" in p else p
-            d = jnp.linalg.norm(m.mech.mass_center(mech_p, qf) -
-                                m.mech.mass_center(mech_p, q0))
-            val = val / jnp.maximum(d, 1e-9)
+            diff = (m.mech.mass_center(mech_p, qf) -
+                    m.mech.mass_center(mech_p, q0))
+            # smoothed norm: jnp.linalg.norm has a NaN gradient at zero
+            # displacement (the cold bounds-midpoint guess), which poisons
+            # the whole objective gradient via 0*nan
+            d = jnp.sqrt(jnp.sum(diff ** 2) + 1e-16)
+            val = val / d
         return val
 
     def hessian_block_local(self) -> bool:
@@ -273,9 +277,11 @@ class AverageSpeedGoal(Goal):
         if self.use_com:
             m = rep.model
             mech_p = p["mech"] if isinstance(p, dict) and "mech" in p else p
-            d = jnp.linalg.norm(
-                m.mech.mass_center(mech_p, yf[:m.mech.nq]) -
-                m.mech.mass_center(mech_p, y0[:m.mech.nq]))
+            diff = (m.mech.mass_center(mech_p, yf[:m.mech.nq]) -
+                    m.mech.mass_center(mech_p, y0[:m.mech.nq]))
+            # smoothed norm: finite gradient at zero displacement (cold
+            # initial guess has q0 == qf)
+            d = jnp.sqrt(jnp.sum(diff ** 2) + 1e-16)
             avg = d / (tf - t0)
         else:
             avg = (yf[self.coord] - y0[self.coord]) / (tf - t0)

@@ -736,7 +736,11 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
                                jnp.minimum(jnp.asarray(opt.mu_init, dtype),
                                            mu_new * 10.0))
         rescue = mu_rescued != mu_new
-        rescue_count = carry.rescue_count + jnp.where(rescue, 1, 0)
+        # non-finite restarts pump mu too, but only deliberate rejected-step
+        # rescues consume the budget — otherwise a few NaN recoveries
+        # disable legitimate mu rescues for the rest of the solve
+        rescue_count = carry.rescue_count + jnp.where(rescue & finite_ok,
+                                                      1, 0)
         ftheta_new = jnp.where(rescue, ft0, ftheta_new)
         fphi_new = jnp.where(rescue, fp0, fphi_new)
         fcount_new = jnp.where(rescue, fc0, fcount_new)

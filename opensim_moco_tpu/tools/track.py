@@ -102,7 +102,8 @@ class Track:
                                       weight=self.control_effort_weight))
 
         study = Study(prob)
-        n_int = max(2, int(round((tf - t0) / self.mesh_interval)))
+        # ceil, mirroring MocoTool::updateTimeInfo (MocoTool.cpp:69)
+        n_int = max(2, int(np.ceil((tf - t0) / self.mesh_interval - 1e-12)))
         study.set_solver_options(transcription_scheme="hermite-simpson",
                                  num_mesh_intervals=n_int)
         # limited-memory curvature is the reference's default for DC

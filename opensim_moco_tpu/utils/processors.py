@@ -85,13 +85,20 @@ def TabOpConvertDegreesToRadians():
 def ModOpAddReserves(optimal_force=1.0, bound=None):
     """Add a reserve CoordinateActuator to every coordinate
     (reference ModOpAddReserves, ModelOperators.h:310;
-    ModelFactory::createReserveActuators)."""
+    ModelFactory::createReserveActuators). Names follow the reference:
+    ``reserve_`` + coordinate path with '/'->'_' (so solution columns line
+    up with golden files, e.g. reserve_jointset_hip_r_hip_flexion_r)."""
 
     def op(model):
+        paths = model.coordinate_paths() if model._finalized else None
+        if paths is None:
+            model.finalize()
+            paths = model.coordinate_paths()
         for i, cname in enumerate(model.mech.coord_names):
+            pname = paths[i].strip("/").replace("/", "_")
             lo = -np.inf if bound is None else -bound
             hi = np.inf if bound is None else bound
-            model.add_coordinate_actuator(f"reserve_{cname}", i,
+            model.add_coordinate_actuator(f"reserve_{pname}", i,
                                           optimal_force=optimal_force,
                                           min_control=lo, max_control=hi)
         return model

@@ -26,7 +26,7 @@ def test_mass_center_point_mass():
 def test_prediction_problem_builds_and_evaluates():
     import jax.numpy as jnp
 
-    study = gait2d_prediction_study(num_mesh_intervals=4)
+    study, _ = gait2d_prediction_study(num_mesh_intervals=4)
     tr = study.transcription()
     nlp = tr.make_nlp()
     z0 = tr.initial_guess()
@@ -40,6 +40,16 @@ def test_prediction_problem_builds_and_evaluates():
     assert any("speed" in n for n in names)
     # divide-by-displacement effort goal forces the dense-Hessian path
     assert tr.kkt_structure() is None
+    # the cold bounds guess has zero COM displacement: the smoothed norms
+    # in ControlGoal(divide_by_displacement) / AverageSpeedGoal(use_com)
+    # must keep the objective gradient and constraint Jacobian-vector
+    # products finite there (advisor r3: NaN gradient at q0 == qf)
+    import jax
+    g = jax.grad(nlp.objective)(jnp.asarray(z0))
+    assert bool(jnp.all(jnp.isfinite(g)))
+    _, jv = jax.jvp(nlp.constraints, (jnp.asarray(z0),),
+                    (jnp.ones_like(jnp.asarray(z0)),))
+    assert bool(jnp.all(jnp.isfinite(jv)))
 
 
 def test_grf_tracking_goal_in_tracking_study():
