@@ -389,6 +389,13 @@ def gait_inverse_study(mesh_interval=0.05, initial_time=0.45,
     model, info = parse_osim(
         f"{REF_TESTS}/subject_walk_armless_18musc.osim",
         weld_joints=("subtalar_r", "subtalar_l", "mtp_r", "mtp_l"))
+    # ModOpReplaceMusclesWithDeGrooteFregly2016 (testMocoInverse.cpp:124):
+    # parameter mapping is done by the parser; the reference's conversion
+    # also DROPS every PathWrapSet (DeGrooteFregly2016Muscle.cpp:
+    # 1009-1021), which this op reproduces — the golden solution's
+    # muscle-tendon lengths match the wrap-free paths to <0.3 mm.
+    from .utils.processors import ModOpReplaceMusclesWithDeGrooteFregly2016
+    model = ModOpReplaceMusclesWithDeGrooteFregly2016()(model)
     # ModOpIgnorePassiveFiberForcesDGF + TendonComplianceDynamicsModeDGF
     # (testMocoInverse.cpp:125-127)
     import dataclasses as _dc

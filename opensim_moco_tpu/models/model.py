@@ -65,6 +65,14 @@ class MuscleSpec:
       while the coordinate is in [lo, hi] (OpenSim ConditionalPathPoint)
     * ``("moving", body, ((fx, cx), (fy, cy), (fz, cz)))`` — per-axis
       location functions of coordinates (OpenSim MovingPathPoint)
+
+    ``wraps``: PathWrap entries ((WrapCylinderSpec, candidate_segments),
+    ...) in PathWrapSet order. ``candidate_segments`` are 0-based indices
+    into the path's straight segments; at evaluation the engaged segment
+    is the one with the largest wrap detour (OpenSim applyWrapObjects
+    tries each segment in the PathWrap range and keeps the wrap that
+    deflects the path). Wraps listing the same single candidate segment
+    are applied sequentially (chained) on it.
     """
     name: str
     path: tuple
@@ -72,6 +80,7 @@ class MuscleSpec:
     ignore_tendon_compliance: bool = False
     tendon_dynamics_implicit: bool = False
     ignore_passive_fiber_force: bool = False
+    wraps: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -266,34 +275,44 @@ class Model:
                    ignore_activation_dynamics=False,
                    ignore_tendon_compliance=False,
                    tendon_dynamics_implicit=False,
-                   ignore_passive_fiber_force=False):
+                   ignore_passive_fiber_force=False,
+                   wraps=()):
         if params is None:
             params = dgf.default_muscle_params()
         norm_path = []
+        norm_wraps = list(wraps)
         for pt in path:
             if isinstance(pt[0], str):
+                if pt[0] == "wrap":
+                    # legacy inline marker: wrap pinned to the segment it
+                    # was inserted into
+                    norm_wraps.append((pt[1], (len(norm_path) - 1,)))
+                    continue
                 norm_path.append(tuple(pt))
             else:  # legacy (body, loc) pairs
                 norm_path.append(("fixed", pt[0], tuple(pt[1])))
         # conditional points must have plain neighbors (true for the
         # reference gait models); the path-length switch assumes it
+        has_cond = False
         for i, pt in enumerate(norm_path):
             if pt[0] == "conditional":
+                has_cond = True
                 assert 0 < i < len(norm_path) - 1, \
                     "conditional path point cannot be an endpoint"
                 assert norm_path[i - 1][0] != "conditional" and \
                     norm_path[i + 1][0] != "conditional", \
                     "adjacent conditional path points unsupported"
-            if pt[0] == "wrap":
-                assert 0 < i < len(norm_path) - 1, \
-                    "wrap marker must sit between two path points"
-                assert norm_path[i - 1][0] != "conditional" and \
-                    norm_path[i + 1][0] != "conditional", \
-                    "wrap adjacent to conditional point unsupported"
+        assert not (has_cond and norm_wraps), \
+            "wraps on paths with conditional points unsupported"
+        nseg = len(norm_path) - 1
+        norm_wraps = tuple(
+            (spec, tuple(k for k in cands if 0 <= k < nseg))
+            for spec, cands in norm_wraps)
         self.muscles.append(MuscleSpec(
             name, tuple(norm_path),
             ignore_activation_dynamics, ignore_tendon_compliance,
-            tendon_dynamics_implicit, ignore_passive_fiber_force))
+            tendon_dynamics_implicit, ignore_passive_fiber_force,
+            wraps=norm_wraps))
         self._muscle_params.append(params)
 
     def add_station_contact(self, name, body, location, **kwargs):
@@ -529,30 +548,76 @@ class Model:
         frames = self.mech.frames(p["mech"], q)
         return self._path_lengths_from_frames(frames, p, q)
 
-    def _wrap_segment_length(self, frames, q, a_w, b_w, wraps):
-        """Segment a->b with one or more wrap cylinders: each candidate
-        wrap length is computed in its cylinder frame; the engaged wrap
-        dominates (max over candidates and the straight length — a lower
-        bound when multiple cylinders engage simultaneously)."""
-        from .wrap import cylinder_wrap_length
+    def _cyl_frame_maps(self, frames, spec, dtype):
+        """(to_cyl, from_cyl) world<->cylinder coordinate maps."""
+        A, o = frames[spec.body]
+        Ec = jnp.asarray(spec.rotation(), dtype=dtype)
+        tc = jnp.asarray(spec.translation, dtype=dtype)
 
-        L = jnp.linalg.norm(b_w - a_w + 1e-30)
-        for spec in wraps:
-            A, o = frames[spec.body]
-            Ec = jnp.asarray(spec.rotation(), dtype=q.dtype)
-            tc = jnp.asarray(spec.translation, dtype=q.dtype)
-            to_cyl = lambda x: Ec @ (A @ (x - o) - tc)
-            Lw = cylinder_wrap_length(to_cyl(a_w), to_cyl(b_w), spec.radius,
-                                      spec.quadrant)
-            L = jnp.maximum(L, Lw)
-        return L
+        def to_cyl(x):
+            return Ec @ (A @ (x - o) - tc)
+
+        def from_cyl(c):
+            return o + A.T @ (Ec.T @ c + tc)
+
+        return to_cyl, from_cyl
+
+    def _wrap_detours(self, frames, q, mspec, pts):
+        """Total extra length added by the muscle's wrap cylinders.
+
+        Single wraps contribute ``max_k(L_wrap(seg k) - |seg k|)`` over
+        their candidate segments — the wrap engages where it deflects the
+        path the most (at most one segment physically intersects a
+        cylinder at a time in the reference models). Wraps sharing one
+        candidate segment are chained sequentially (med_gas's two
+        cylinders)."""
+        from .wrap import chained_wrap_length, cylinder_wrap_length
+
+        dtype = q.dtype
+        detour = jnp.zeros((), dtype=dtype)
+        # group wraps by identical single-candidate segment
+        groups = {}
+        singles = []
+        for spec, cands in mspec.wraps:
+            if len(cands) == 1:
+                groups.setdefault(cands[0], []).append(spec)
+            else:
+                singles.append((spec, cands))
+        for seg, specs in groups.items():
+            a, b = pts[seg], pts[seg + 1]
+            straight = jnp.linalg.norm(b - a + 1e-30)
+            if len(specs) == 1:
+                to_c, _ = self._cyl_frame_maps(frames, specs[0], dtype)
+                L = cylinder_wrap_length(to_c(a), to_c(b), specs[0].radius,
+                                         specs[0].quadrant)
+            else:
+                # order proximal-first along the path: the kinematic tree
+                # is topologically ordered, so a lower body index is
+                # closer to the path origin (femur before tibia for the
+                # gastroc pair). Static ordering keeps the chain
+                # structure fixed under jit.
+                specs = sorted(specs, key=lambda s: s.body)
+                cyls = [self._cyl_frame_maps(frames, s, dtype) +
+                        (s.radius, s.quadrant) for s in specs]
+                L = chained_wrap_length(a, b, cyls)
+            detour = detour + jnp.maximum(L - straight, 0.0)
+        for spec, cands in singles:
+            to_c, _ = self._cyl_frame_maps(frames, spec, dtype)
+            best = jnp.zeros((), dtype=dtype)
+            for k in cands:
+                a, b = pts[k], pts[k + 1]
+                straight = jnp.linalg.norm(b - a + 1e-30)
+                L = cylinder_wrap_length(to_c(a), to_c(b), spec.radius,
+                                         spec.quadrant)
+                best = jnp.maximum(best, L - straight)
+            detour = detour + best
+        return detour
 
     def _path_lengths_from_frames(self, frames, p, q):
         """path_lengths body given precomputed frames."""
         out = []
         for mspec in self.muscles:
-            pts = [None if pt[0] == "wrap" else
-                   self._path_point_world(frames, p, q, pt)
+            pts = [self._path_point_world(frames, p, q, pt)
                    for pt in mspec.path]
             L = jnp.zeros((), dtype=q.dtype)
             i = 0
@@ -568,19 +633,11 @@ class Model:
                     without = jnp.linalg.norm(b - a + 1e-30)
                     L = L + jnp.where(active, with_pt, without)
                     i += 2
-                elif nxt[0] == "wrap":
-                    # collect consecutive wrap markers on this segment
-                    wraps = []
-                    j = i + 1
-                    while j < n and mspec.path[j][0] == "wrap":
-                        wraps.append(mspec.path[j][1])
-                        j += 1
-                    L = L + self._wrap_segment_length(frames, q, pts[i],
-                                                      pts[j], wraps)
-                    i = j
                 else:
                     L = L + jnp.linalg.norm(pts[i + 1] - pts[i] + 1e-30)
                     i += 1
+            if mspec.wraps:
+                L = L + self._wrap_detours(frames, q, mspec, pts)
             out.append(L)
         return jnp.stack(out)
 

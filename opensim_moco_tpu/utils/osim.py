@@ -530,61 +530,36 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
 
             model.add_kinematic_constraint(c.get("name"), make_phi())
 
-    # ---- assign PathWrap cylinders to path segments
+    # ---- assign PathWrap cylinders with their candidate segments
     if muscle_wraps:
-        import jax.numpy as jnp
-
         from ..models.wrap import WrapCylinderSpec
 
-        model.finalize()
-        q0 = np.zeros(mech.nq)
-        for cn, ci in ((c, mech.coord_names.index(c))
-                       for c in mech.coord_names if c in coord_info):
-            q0[ci] = coord_info[cn]["default"]
-        q0j = jnp.asarray(q0)
-        frames0 = mech.frames(model.default_params()["mech"], q0j)
         new_muscles = []
         for mi, ms in enumerate(model.muscles):
             wraps = muscle_wraps.get(ms.name)
             if not wraps:
                 new_muscles.append(ms)
                 continue
-            path = list(ms.path)
-            pts0 = [np.asarray(model._path_point_world(
-                frames0, model.default_params(), q0j, pt))
-                for pt in path]
+            nseg = len(ms.path) - 1
+            spec_list = []
             for wname, rng in wraps:
                 wo = wrap_objects[wname]
                 spec = WrapCylinderSpec(
                     wname, body_idx[wo["body_name"]], wo["translation"],
                     wo["xyz_rotation"], wo["radius"], wo["quadrant"])
-                # wrap-object center in world at the default pose
-                A, o = frames0[spec.body]
-                cw = np.asarray(o) + np.asarray(A).T @ np.asarray(
-                    wo["translation"])
-                # candidate segments (indices between real points)
+                # PathWrap range (1-based path-point window r0..r1): the
+                # wrap may act on any segment incident to that window,
+                # segments r0-1 .. r1-1 0-based. Validated against the
+                # reference golden gait solution: psoas' PS_at_brim range
+                # "2 3" engages on the P3->P4 segment at hip extension
+                # (scripts/gait_wrap_experiments.py). -1 -1 = all.
                 if rng[0] > 0:
-                    seg_candidates = [rng[0] - 1]
+                    cands = tuple(range(rng[0] - 1, min(rng[1], nseg)))
                 else:
-                    seg_candidates = list(range(len(pts0) - 1))
-
-                def seg_dist(i):
-                    a, b = pts0[i], pts0[i + 1]
-                    d = b - a
-                    t = np.clip(-(a - cw) @ d / max(d @ d, 1e-16), 0, 1)
-                    return float(np.linalg.norm(a + t * d - cw))
-
-                seg = min(seg_candidates, key=seg_dist)
-                # map the fixed-point segment index into the (possibly
-                # already wrap-augmented) path: count real points
-                real = -1
-                for k, pt in enumerate(path):
-                    if pt[0] != "wrap":
-                        real += 1
-                    if real == seg:
-                        path.insert(k + 1, ("wrap", spec))
-                        break
-            new_muscles.append(dataclasses.replace(ms, path=tuple(path)))
+                    cands = tuple(range(nseg))
+                spec_list.append((spec, cands))
+            new_muscles.append(dataclasses.replace(
+                ms, wraps=tuple(spec_list)))
         model.muscles = new_muscles
         model.finalize()
 

@@ -166,8 +166,24 @@ def ModOpReplaceMusclesWithDeGrooteFregly2016():
     DeGrooteFregly2016 muscle (reference ModOpReplaceMusclesWithDGF,
     ModelOperators.h:143; DeGrooteFregly2016Muscle::replaceMuscles). The
     .osim parser already maps Thelen2003/Millard2012 parameter sets onto
-    DGF parameters when reading foreign models."""
-    return lambda model: model
+    DGF parameters when reading foreign models.
+
+    Crucially, the reference's replaceMuscles copies ONLY the
+    PathPointSet — the PathWrapSet is silently dropped
+    (DeGrooteFregly2016Muscle.cpp:1009-1021), so converted muscles run on
+    straight via-point paths. The shipped golden gait solutions encode
+    exactly this (validated: implied muscle-tendon lengths from
+    std_testMocoInverse_subject_18musc_solution.sto match the wrap-free
+    paths to <0.3 mm, scripts/gait_lmt_extract.py). This op reproduces
+    that behavior."""
+    import dataclasses
+
+    def op(model):
+        model.muscles = [dataclasses.replace(m, wraps=())
+                         for m in model.muscles]
+        return model
+
+    return op
 
 
 def ModOpRemoveMuscles():
