@@ -746,6 +746,24 @@ class Transcription:
                 res.multipliers.shape[1] == self.nlam:
             z[o["multipliers"][0]:o["multipliers"][1]] = \
                 res.multipliers.ravel()
+        # implicit-auxiliary derivative variables (implicitderiv_* columns
+        # in reference solutions)
+        if self.nderiv and res.derivatives is not None:
+            D = z[o["derivs"][0]:o["derivs"][1]].reshape(
+                self.G, self.nderiv)
+            # layout: nq accel columns first (implicit multibody), then
+            # implicit-aux (tendon-force) derivative columns
+            n_accel = self.nq if self.implicit_mb else 0
+            accel_names = [f"{c}/accel"
+                           for c in self.rep.model.coordinate_paths()]
+            aux_names = [
+                f"/forceset/{mn}/implicitderiv_normalized_tendon_force"
+                for mn in self.rep.model._implicit_aux]
+            for i, n in enumerate(accel_names[:n_accel] + aux_names):
+                if n in res.derivative_names:
+                    D[:, i] = res.derivatives[
+                        :, list(res.derivative_names).index(n)]
+            z[o["derivs"][0]:o["derivs"][1]] = D.ravel()
         return z
 
     def initial_guess(self, dtype=None):

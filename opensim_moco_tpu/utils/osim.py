@@ -386,6 +386,35 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
             name = f.get("name")
             if tag == "DeGrooteFregly2016Muscle" or tag == \
                     "Millard2012EquilibriumMuscle" or tag == "Thelen2003Muscle":
+                # DeGrooteFregly2016Muscle::replaceMuscles copies the
+                # source muscle's activation time constants and curve
+                # strains (DeGrooteFregly2016Muscle.cpp:954-981), so the
+                # defaults here are per source type: Millard2012
+                # (0.010/0.040), Thelen2003 (0.015/0.050), DGF
+                # (0.015/0.060). Validated against the golden gait
+                # solution's activation defects (scripts/gait_lmt_extract).
+                tau_defaults = {
+                    "Millard2012EquilibriumMuscle": ("0.01", "0.04"),
+                    "Thelen2003Muscle": ("0.015", "0.05"),
+                    "DeGrooteFregly2016Muscle": ("0.015", "0.06"),
+                }[tag]
+                # curve strains live in nested curve objects for Millard
+                def _curve_strain(curve_tag, default):
+                    c = f.find(curve_tag)
+                    if c is not None:
+                        v = _find_text(c, "strain_at_one_norm_force")
+                        if v is not None:
+                            return v
+                    return default
+                passive_strain = _find_text(
+                    f, "passive_fiber_strain_at_one_norm_force",
+                    _curve_strain(
+                        "FiberForceLengthCurve",
+                        "0.7" if tag == "Millard2012EquilibriumMuscle"
+                        else "0.6"))
+                tendon_strain = _find_text(
+                    f, "tendon_strain_at_one_norm_force",
+                    _curve_strain("TendonForceLengthCurve", "0.049"))
                 params = dgf.default_muscle_params(
                     max_isometric_force=float(
                         _find_text(f, "max_isometric_force", "1000")),
@@ -398,16 +427,17 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
                     max_contraction_velocity=float(
                         _find_text(f, "max_contraction_velocity", "10")),
                     activation_time_constant=float(
-                        _find_text(f, "activation_time_constant", "0.015")),
+                        _find_text(f, "activation_time_constant",
+                                   tau_defaults[0])),
                     deactivation_time_constant=float(
-                        _find_text(f, "deactivation_time_constant", "0.06")),
+                        _find_text(f, "deactivation_time_constant",
+                                   tau_defaults[1])),
                     active_force_width_scale=float(
                         _find_text(f, "active_force_width_scale", "1")),
                     fiber_damping=float(_find_text(f, "fiber_damping", "0")),
-                    passive_fiber_strain_at_one_norm_force=float(_find_text(
-                        f, "passive_fiber_strain_at_one_norm_force", "0.6")),
-                    tendon_strain_at_one_norm_force=float(_find_text(
-                        f, "tendon_strain_at_one_norm_force", "0.049")),
+                    passive_fiber_strain_at_one_norm_force=float(
+                        passive_strain),
+                    tendon_strain_at_one_norm_force=float(tendon_strain),
                 )
                 ignore_act = _find_text(f, "ignore_activation_dynamics",
                                         "false") == "true"
@@ -603,12 +633,14 @@ def parse_external_loads(xml_path, base_dir=None, lowpass_hz=None):
                 return None
             cols.append(np.asarray(table.column(name)))
         data = np.stack(cols, axis=1)
-        tj = jnp.asarray(times)
-        dj = jnp.asarray(data)
+        # the reference's ExternalForce samples its data through GCVSpline
+        # of degree 5 (ExternalForce::computeForce); a quintic
+        # interpolating spline matches it far better than linear interp
+        from .splines import QuinticSpline
+        spline = QuinticSpline(times, data)
 
-        def fn(t, tj=tj, dj=dj):
-            return jnp.stack([jnp.interp(t, tj, dj[:, k])
-                              for k in range(3)])
+        def fn(t, s=spline):
+            return s(t)
 
         return fn
 

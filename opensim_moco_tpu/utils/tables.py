@@ -146,7 +146,15 @@ def trajectory_to_sto(traj, path):
         if data is None or not len(group_names):
             continue
         names += list(group_names)
-        cols.append(np.asarray(data))
+        data = np.asarray(data)
+        if group_names is traj.multiplier_names:
+            # Moco multiplier convention: the reference applies constraint
+            # forces from -lambda (MocoCasOCProblem.h:646-667) while our
+            # residual uses +G^T lambda; negate on write (and on read in
+            # sto_to_trajectory) so .sto files interop with golden
+            # solutions and our own round-trips stay consistent
+            data = -data
+        cols.append(data)
     data = np.concatenate(cols, axis=1) if cols else np.zeros(
         (len(traj.time), 0))
     meta = {"name": "MocoSolution", "DataType": "double",
@@ -189,11 +197,12 @@ def sto_to_trajectory(path):
     pick = lambda ns: (np.stack([t.column(n) for n in ns], axis=1)
                        if ns else np.zeros((len(t.time), 0)))
     meta = t.metadata
+    # Moco lambda convention is opposite ours; see trajectory_to_sto
     return Solution(
         time=t.time,
         state_names=state_names, states=pick(state_names),
         control_names=controls_names, controls=pick(controls_names),
-        multiplier_names=mult_names, multipliers=pick(mult_names),
+        multiplier_names=mult_names, multipliers=-pick(mult_names),
         derivative_names=deriv_names, derivatives=pick(deriv_names),
         success=meta.get("success", "true") == "true",
         objective=float(meta.get("objective", "nan")),

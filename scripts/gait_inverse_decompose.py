@@ -23,8 +23,6 @@ def main():
     study = gait_inverse_study(mesh_interval=0.05)
     tr = study.transcription()
     golden = sto_to_trajectory(GOLDEN)
-    # our lambda convention is opposite the reference's
-    golden = dataclasses.replace(golden, multipliers=-golden.multipliers)
     z = tr.guess_from_trajectory(golden)
 
     m = tr.rep.model

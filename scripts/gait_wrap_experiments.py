@@ -89,7 +89,6 @@ def residual_rows(tr, m, p, rows=("hip_flexion_r", "hip_adduction_r",
 
     from opensim_moco_tpu.utils.tables import sto_to_trajectory
     golden = sto_to_trajectory(GOLDEN)
-    golden = dataclasses.replace(golden, multipliers=-golden.multipliers)
     z = tr.guess_from_trajectory(golden)
     C = tr._prescribed_constants()
     t0, tf, Y, X, L, D, Gm, pcs, ecs, theta = tr.unpack(z)
