@@ -81,6 +81,11 @@ class MuscleSpec:
     tendon_dynamics_implicit: bool = False
     ignore_passive_fiber_force: bool = False
     wraps: tuple = ()
+    # excitation control bounds; replaceMuscles copies the source muscle's
+    # minControl (= minimum_activation for Millard/Thelen, typically 0.01)
+    # onto the DGF muscle (DeGrooteFregly2016Muscle.cpp:995-996)
+    min_control: float = 0.0
+    max_control: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -276,7 +281,7 @@ class Model:
                    ignore_tendon_compliance=False,
                    tendon_dynamics_implicit=False,
                    ignore_passive_fiber_force=False,
-                   wraps=()):
+                   wraps=(), min_control=0.0, max_control=1.0):
         if params is None:
             params = dgf.default_muscle_params()
         norm_path = []
@@ -312,7 +317,8 @@ class Model:
             name, tuple(norm_path),
             ignore_activation_dynamics, ignore_tendon_compliance,
             tendon_dynamics_implicit, ignore_passive_fiber_force,
-            wraps=norm_wraps))
+            wraps=norm_wraps, min_control=float(min_control),
+            max_control=float(max_control)))
         self._muscle_params.append(params)
 
     def add_station_contact(self, name, body, location, **kwargs):
@@ -450,9 +456,9 @@ class Model:
         for a in self.actuators:
             lo.append(a.min_control)
             hi.append(a.max_control)
-        for _ in self.muscles:
-            lo.append(0.0)
-            hi.append(1.0)
+        for m in self.muscles:
+            lo.append(m.min_control)
+            hi.append(m.max_control)
         return np.array(lo), np.array(hi)
 
     def default_state_bounds(self):
@@ -465,9 +471,14 @@ class Model:
             # speeds default [-50, 50] like MocoTool defaults
             lo[self.nq:2 * self.nq] = -50.0
             hi[self.nq:2 * self.nq] = 50.0
+        mus_by_name = {ms.name: ms for ms in self.muscles}
         for i, (m, kind) in enumerate(self._aux_index):
             if kind == "activation":
-                lo[off + i], hi[off + i] = 0.0, 1.0
+                # bound_activation_from_excitation (default true): the
+                # activation state inherits the excitation control bounds
+                # (MocoProblemRep.cpp:417-427)
+                ms = mus_by_name[m]
+                lo[off + i], hi[off + i] = ms.min_control, ms.max_control
             else:
                 lo[off + i] = dgf.MIN_NORM_TENDON_FORCE
                 hi[off + i] = dgf.MAX_NORM_TENDON_FORCE

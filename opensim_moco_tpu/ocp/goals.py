@@ -243,18 +243,24 @@ class PeriodicityGoal(Goal):
 
 @dataclasses.dataclass
 class InitialActivationGoal(Goal):
-    """Penalize initial activations to prevent "free" initial activation
-    (reference MocoInitialActivationGoal)."""
+    """Penalize the gap between initial excitation and initial activation,
+    preventing "free" initial activation (reference
+    MocoInitialActivationGoal.cpp:41-57: cost = sum_i
+    (excitation_i(t0) - activation_i(t0))^2)."""
     name: str = "initial_activation"
     _VALUE_BLOCK_LOCAL = True  # value reads the initial grid point only
 
     def value(self, rep, initial, final, integral, p):
         y0 = initial[1]
+        x0 = initial[2]
         total = jnp.zeros((), dtype=y0.dtype)
         m = rep.model
+        aux0 = 0 if m.prescribed else 2 * m.nq
+        mus_idx = {ms.name: mi for mi, ms in enumerate(m.muscles)}
         for k, (mname, kind) in enumerate(m._aux_index):
             if kind == "activation":
-                total = total + y0[2 * m.nq + k] ** 2
+                exc = x0[len(m.actuators) + mus_idx[mname]]
+                total = total + (exc - y0[aux0 + k]) ** 2
         return total
 
 

@@ -170,8 +170,12 @@ class Study:
         deriv_names = []
         if tr.implicit_mb:
             deriv_names += [c + "/accel" for c in rep.model.coordinate_paths()]
-        deriv_names += [f"/forceset/{m}/implicit_derivative"
-                        for m in rep.model._implicit_aux]
+        # reference naming (CasOCProblem.h:352-390 createIterate), so
+        # solutions round-trip through guess_from_trajectory and compare
+        # against golden files column-for-column
+        deriv_names += [
+            f"/forceset/{m}/implicitderiv_normalized_tendon_force"
+            for m in rep.model._implicit_aux]
 
         sol = Solution(
             time=ts,

@@ -771,9 +771,11 @@ class Transcription:
         CasOCTranscription.cpp:1123-1150): midpoint where both bounds are
         finite, else the finite bound, else zero."""
         lb, ub = self.bounds()
-        mid = np.where(np.isfinite(lb) & np.isfinite(ub), 0.5 * (lb + ub),
-                       np.where(np.isfinite(lb), lb,
-                                np.where(np.isfinite(ub), ub, 0.0)))
+        with np.errstate(invalid="ignore"):  # inf + -inf on unbounded vars
+            mid = np.where(np.isfinite(lb) & np.isfinite(ub),
+                           0.5 * (lb + ub),
+                           np.where(np.isfinite(lb), lb,
+                                    np.where(np.isfinite(ub), ub, 0.0)))
         if dtype is None:
             dtype = (np.float64 if jax.config.jax_enable_x64
                      else np.float32)

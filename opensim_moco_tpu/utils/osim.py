@@ -443,6 +443,17 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
                                         "false") == "true"
                 ignore_ten = _find_text(f, "ignore_tendon_compliance",
                                         "false") == "true"
+                # excitation bounds: min_control if serialized, else the
+                # Millard/Thelen minimum_activation (default 0.01), which
+                # the muscle promotes to its minControl and replaceMuscles
+                # copies (DeGrooteFregly2016Muscle.cpp:995-996)
+                min_ctrl = _find_text(f, "min_control")
+                if min_ctrl is None:
+                    min_ctrl = _find_text(
+                        f, "minimum_activation",
+                        "0.01" if tag != "DeGrooteFregly2016Muscle"
+                        else "0")
+                max_ctrl = _find_text(f, "max_control", "1")
                 # path points
                 gp = f.find("GeometryPath")
                 pps = gp.find("PathPointSet").find("objects")
@@ -490,7 +501,9 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
                         raise NotImplementedError(f"path point {ptag}")
                 model.add_muscle(name, path=path, params=params,
                                  ignore_activation_dynamics=ignore_act,
-                                 ignore_tendon_compliance=ignore_ten)
+                                 ignore_tendon_compliance=ignore_ten,
+                                 min_control=float(min_ctrl),
+                                 max_control=float(max_ctrl))
                 muscle_names.append(name)
                 pws = gp.find("PathWrapSet")
                 if pws is not None and pws.find("objects") is not None:

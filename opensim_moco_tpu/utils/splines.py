@@ -79,12 +79,92 @@ class CubicSpline:
         return A * self.M[i] + B * self.M[i + 1]
 
 
+def _natural_quintic_coeffs(x, Y):
+    """Natural interpolating quintic spline coefficients (Woltring GCVSPL
+    with half-order m=3 and zero error variance — the reference's
+    GCVSpline(5) in interpolating mode, used by PositionMotion,
+    Components/PositionMotion.h). The interpolant minimizes the
+    third-derivative energy ∫(f''')² over all interpolants, which the
+    penalty-free B-spline formulation solves exactly via the KKT system
+
+        [Ω  Bᵀ] [c]   [0]
+        [B  0 ] [μ] = [y]
+
+    with B the quintic B-spline collocation matrix on the data sites
+    (single interior knots => all quintic splines with breaks at the data)
+    and Ω_ij = ∫ B_i''' B_j'''.
+
+    Returns (breakpoints, (6, nseg, d) PPoly-style coefficients)."""
+    from scipy.interpolate import BSpline, PPoly
+
+    n = len(x)
+    # the minimum-∫(f''')² interpolant is invariant under affine time
+    # scaling; solve in s = (x - x0)/h_mean so the KKT system is well
+    # conditioned (raw Ω entries scale like h^-5), then map back
+    x_raw = np.asarray(x, dtype=np.float64)
+    h_mean = float(np.mean(np.diff(x_raw)))
+    x0 = float(x_raw[0])
+    x = (x_raw - x0) / h_mean
+    t = np.r_[[x[0]] * 6, x[1:-1], [x[-1]] * 6]
+    nb = n + 4
+    B = BSpline.design_matrix(x, t, 5).toarray()  # (n, nb)
+    # Gram matrix of third derivatives: f''' is piecewise quadratic, so
+    # 3-point Gauss-Legendre per interval is exact
+    gauss_x = np.array([-np.sqrt(3.0 / 5.0), 0.0, np.sqrt(3.0 / 5.0)])
+    gauss_w = np.array([5.0 / 9.0, 8.0 / 9.0, 5.0 / 9.0])
+    a = x[:-1]
+    b = x[1:]
+    h2 = 0.5 * (b - a)  # (n-1,)
+    pts = (0.5 * (a + b)[:, None] + h2[:, None] * gauss_x[None, :]).ravel()
+    w = (h2[:, None] * gauss_w[None, :]).ravel()
+    D3 = BSpline(t, np.eye(nb), 5)(pts, nu=3)  # (npts, nb), all basis
+    Om = (D3 * w[:, None]).T @ D3
+    K = np.zeros((nb + n, nb + n))
+    K[:nb, :nb] = Om
+    K[:nb, nb:] = B.T
+    K[nb:, :nb] = B
+    rhs = np.zeros((nb + n, Y.shape[1]))
+    rhs[nb:] = Y
+    sol = np.linalg.solve(K, rhs)
+    c = sol[:nb]
+    cols = []
+    for j in range(Y.shape[1]):
+        pp = PPoly.from_spline(BSpline(t, c[:, j], 5))
+        cols.append((pp.x, pp.c))
+    xb = cols[0][0]
+    C = np.stack([cc for _, cc in cols], axis=-1)  # (6, nseg, d)
+    # map back to raw time: t_raw - t_i = h_mean * (s - s_i), so the
+    # coefficient of (t_raw - t_i)^e is c_e / h_mean^e (c ordered by
+    # descending power: index m has power k - m)
+    k = C.shape[0] - 1
+    for m in range(C.shape[0]):
+        C[m] /= h_mean ** (k - m)
+    xb = x0 + h_mean * xb
+    return xb, C
+
+
+def _bspline_deriv_design(pts, t, k, nu):
+    """Dense design matrix of the nu-th derivative of the B-spline basis
+    of degree k with knots t, evaluated at pts."""
+    from scipy.interpolate import BSpline
+
+    nb = len(t) - k - 1
+    out = np.zeros((len(pts), nb))
+    c = np.zeros(nb)
+    for i in range(nb):
+        c[:] = 0.0
+        c[i] = 1.0
+        out[:, i] = BSpline(t, c, k)(pts, nu=nu)
+    return out
+
+
 class QuinticSpline:
-    """Interpolating quintic spline (the reference's GCVSpline of degree 5
-    with zero smoothing, used by PositionMotion's coordinate functions,
-    Components/PositionMotion.h). Coefficients precomputed with scipy;
-    evaluation is piecewise-polynomial Horner inside JAX, with analytic
-    first/second derivatives."""
+    """Interpolating quintic spline matching the reference's GCVSpline of
+    degree 5 with zero smoothing (Woltring's natural quintic — minimum
+    ∫(f''')² interpolant), used by PositionMotion's coordinate functions
+    (Components/PositionMotion.h). Coefficients precomputed with
+    numpy/scipy; evaluation is piecewise-polynomial Horner inside JAX,
+    with analytic first/second derivatives."""
 
     def __init__(self, x, y):
         from scipy.interpolate import PPoly, make_interp_spline
@@ -93,13 +173,16 @@ class QuinticSpline:
         y = np.asarray(y, dtype=np.float64)
         squeeze = y.ndim == 1
         Y = y[:, None] if squeeze else y
-        k = 5 if len(x) > 5 else max(1, len(x) - 1)
-        cols = []
-        for j in range(Y.shape[1]):
-            pp = PPoly.from_spline(make_interp_spline(x, Y[:, j], k=k))
-            cols.append((pp.x, pp.c))
-        xb = cols[0][0]
-        C = np.stack([c for _, c in cols], axis=-1)  # (k+1, nseg, d)
+        if len(x) > 5:
+            xb, C = _natural_quintic_coeffs(x, Y)
+        else:
+            k = max(1, len(x) - 1)
+            cols = []
+            for j in range(Y.shape[1]):
+                pp = PPoly.from_spline(make_interp_spline(x, Y[:, j], k=k))
+                cols.append((pp.x, pp.c))
+            xb = cols[0][0]
+            C = np.stack([c for _, c in cols], axis=-1)  # (k+1, nseg, d)
         self.squeeze = squeeze
         self.xb = jnp.asarray(xb)
         self.C = jnp.asarray(C)
