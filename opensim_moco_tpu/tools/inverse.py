@@ -87,9 +87,15 @@ class Inverse:
         # exact constraint curvature either (forward finite differences +
         # IPOPT limited-memory BFGS, MocoInverse.cpp:112 and
         # MocoDirectCollocationSolver.h:121); dropping it shrinks the XLA
-        # graph by an order of magnitude on muscle-rich gait models
-        study.set_ipm_options(tol=self.convergence_tolerance,
+        # graph by an order of magnitude on muscle-rich gait models.
+        # Our IPM's KKT-error scaling is stricter than IPOPT's sd/sc
+        # normalization, so the user-facing tolerance maps to tol/100
+        # internally; mu_init 1e-2 keeps the cold bounds-midpoint start in
+        # the golden-solution basin (validated by the
+        # testMocoInverse-golden regression, tests/test_gait_golden.py)
+        study.set_ipm_options(tol=self.convergence_tolerance * 1e-2,
                               max_iter=self.max_iterations,
+                              mu_init=1e-2,
                               hessian_approximation="objective-only")
         return study
 
