@@ -108,9 +108,14 @@ class Track:
                                  num_mesh_intervals=n_int)
         # limited-memory curvature is the reference's default for DC
         # solvers (MocoDirectCollocationSolver.h:121); exact Lagrangian
-        # Hessians on muscle-rich tracking models blow up XLA compile time
-        study.set_ipm_options(tol=self.convergence_tolerance,
+        # Hessians on muscle-rich tracking models blow up XLA compile time.
+        # The user-facing tolerance (reference default 1e-2,
+        # MocoTrack.cpp:110-111) maps to tol/100 internally — our KKT
+        # scaling is stricter than IPOPT's, and at raw 1e-2 the
+        # acceptable-level exit fires on unconverged iterates
+        study.set_ipm_options(tol=self.convergence_tolerance * 1e-2,
                               max_iter=self.max_iterations,
+                              mu_init=1e-2,
                               hessian_approximation="objective-only")
         return study
 
