@@ -148,6 +148,19 @@ def hanging_muscle_study(num_mesh_intervals=25,
         from .ocp import InitialActivationGoal
         prob.add_goal(InitialActivationGoal(name="initial_activation",
                                             weight=1.0))
+    if not ignore_tendon_compliance:
+        # mirror testMocoActuators.cpp:1129-1145: implicit tendon dynamics
+        # pairs with MocoInitialVelocityEquilibriumDGFGoal in cost mode
+        # (w=0.001); explicit pairs with the force-equilibrium goal
+        from .ocp.goals import (InitialForceEquilibriumGoal,
+                                InitialVelocityEquilibriumDGFGoal)
+        if tendon_dynamics_implicit:
+            prob.add_goal(InitialVelocityEquilibriumDGFGoal(
+                name="initial_velocity_equilibrium", mode="cost",
+                weight=0.001))
+        else:
+            prob.add_goal(InitialForceEquilibriumGoal(
+                name="initial_force_equilibrium"))
     prob.set_control_info("/forceset/muscle", (0.01, 1))
     prob.add_goal(FinalTimeGoal(name="time"))
 

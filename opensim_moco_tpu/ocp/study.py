@@ -95,14 +95,58 @@ class Study:
         return StoTable(np.asarray(jax.device_get(ts)), names,
                         np.stack(cols, axis=1), {"inDegrees": "no"})
 
-    def create_guess(self, kind="bounds"):
-        """Flat initial iterate (reference createGuess("bounds"),
-        MocoCasADiSolver.cpp:51-73); also accepts a Trajectory via
-        :meth:`create_guess_from_trajectory`."""
+    def create_guess(self, kind="bounds", seed=0, substeps=10):
+        """Flat initial iterate (reference createGuess with
+        "bounds"/"random"/"time-stepping", MocoCasADiSolver.cpp:51-73);
+        also accepts a Trajectory via :meth:`create_guess_from_trajectory`.
+
+        "time-stepping": forward RK4 rollout (lax.scan) of the model under
+        the bounds-midpoint controls from the bounds-midpoint initial
+        state, mirroring createGuessTimeStepping (MocoSolver.cpp:26,
+        simulateTrajectoryWithTimeStepping MocoUtilities.cpp:431-480).
+        "random": bounds guess plus uniform perturbations within 10% of
+        each variable's range (CasOCTranscription.cpp:1151-1178)."""
+        import numpy as _np
+
         tr = self.transcription()
-        if kind != "bounds":
-            raise NotImplementedError(kind)
-        return tr.initial_guess()
+        z = _np.array(tr.initial_guess())
+        if kind == "bounds":
+            return z
+        if kind == "random":
+            lb, ub = tr.bounds()
+            rng = _np.random.default_rng(seed)
+            span = _np.where(_np.isfinite(ub - lb), ub - lb, 1.0)
+            z = _np.clip(z + 0.1 * span * rng.uniform(-1, 1, z.shape),
+                         _np.where(_np.isfinite(lb), lb, -_np.inf),
+                         _np.where(_np.isfinite(ub), ub, _np.inf))
+            return z
+        if kind == "time-stepping":
+            from ..utils.rollout import rollout
+
+            rep = tr.rep
+            model = rep.model
+            if model.prescribed:
+                # no multibody states to integrate: bounds guess
+                return z
+            t0, tf = z[0], z[1]
+            ts = t0 + (tf - t0) * _np.asarray(tr.taus)
+            o = tr.offsets
+            X = z[o["controls"][0]:o["controls"][1]].reshape(tr.G, tr.nx)
+            Y = z[o["states"][0]:o["states"][1]].reshape(tr.G, tr.ny)
+            y0 = Y[0]
+            p = rep.apply_parameters(
+                z[o["params"][0]:o["params"][1]])
+            traj = _np.asarray(rollout(model, p, ts, X, y0,
+                                       substeps=substeps))
+            # clip integrated states into the variable bounds so the
+            # barrier initializer stays interior
+            lb, ub = tr.bounds()
+            Yl = lb[o["states"][0]:o["states"][1]].reshape(tr.G, tr.ny)
+            Yu = ub[o["states"][0]:o["states"][1]].reshape(tr.G, tr.ny)
+            z[o["states"][0]:o["states"][1]] = _np.clip(
+                traj, Yl, Yu).ravel()
+            return z
+        raise NotImplementedError(kind)
 
     def create_guess_from_file(self, path):
         """Warm start from any written solution/trajectory .sto (reference
@@ -198,6 +242,48 @@ class Study:
             kkt_error=float(kkt_h),
             raw_iterate=np.asarray(z_h),
         )
+        self._check_constraint_jacobian_rank(tr, rep, Y)
         if not converged:
             sol.seal()
         return sol
+
+    def _check_constraint_jacobian_rank(self, tr, rep, Y):
+        """Post-solve kinematic-constraint Jacobian rank diagnostics
+        (reference MocoCasADiSolver.cpp:352-398): with kinematic
+        constraints enforced without derivative enforcement or multiplier
+        minimization, a rank-deficient G(q) makes the multipliers
+        indeterminate — warn with the same actionable guidance."""
+        import logging
+
+        model = rep.model
+        opt = tr.opt
+        if (model.prescribed or not getattr(model, "nphi", 0) or
+                opt.enforce_constraint_derivatives or
+                opt.minimize_lagrange_multipliers):
+            return
+        import jax.numpy as _jnp
+
+        p = rep.apply_parameters(np.zeros(rep.np))
+        Gfun = jax.jit(lambda q: model.constraint_jacobian(p, q))
+        nq = model.mech.nq
+        for g in range(0, tr.G, max(1, tr.G // 8)):
+            G = np.asarray(Gfun(_jnp.asarray(Y[g, :nq])))
+            rank = int(np.linalg.matrix_rank(G))
+            if rank < G.shape[0]:
+                dashes = "-" * 52
+                log = logging.getLogger("opensim_moco_tpu")
+                for line in (
+                        dashes,
+                        "Rank-deficient constraint Jacobian detected.",
+                        dashes,
+                        f"The model constraint Jacobian has {G.shape[0]} "
+                        f"row(s) but is only rank {rank}.",
+                        "Try removing redundant constraints from the model "
+                        "or enable",
+                        "minimization of Lagrange multipliers by utilizing "
+                        "the solver",
+                        "properties 'minimize_lagrange_multipliers' and",
+                        "'lagrange_multiplier_weight'.",
+                        dashes):
+                    log.warning(line)
+                return

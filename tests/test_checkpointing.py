@@ -30,3 +30,29 @@ def test_interrupt_file_aborts(tmp_path):
     stopfile.unlink()  # deleted before solve: abort at first chunk
     sol = study.solve(checkpoint_interval=3, interrupt_file=str(stopfile))
     assert sol.num_iterations <= 6
+
+
+def test_create_guess_kinds():
+    """bounds / random / time-stepping guess generation
+    (MocoCasADiSolver.cpp:51-73, createGuessTimeStepping
+    MocoSolver.cpp:26)."""
+    import numpy as np
+
+    from opensim_moco_tpu.examples import hanging_muscle_study
+
+    study = hanging_muscle_study(10, ignore_tendon_compliance=True,
+                                 ignore_activation_dynamics=True)
+    tr = study.transcription()
+    zb = np.asarray(study.create_guess("bounds"))
+    zr = np.asarray(study.create_guess("random", seed=3))
+    zt = np.asarray(study.create_guess("time-stepping"))
+    assert zb.shape == zr.shape == zt.shape
+    assert not np.allclose(zb, zr)
+    # time-stepping integrates the dynamics: states differ from the
+    # bounds midpoint and respect the state bounds
+    lb, ub = tr.bounds()
+    o = tr.offsets["states"]
+    assert not np.allclose(zt[o[0]:o[1]], zb[o[0]:o[1]])
+    assert np.all(zt[o[0]:o[1]] >= lb[o[0]:o[1]] - 1e-12)
+    assert np.all(zt[o[0]:o[1]] <= ub[o[0]:o[1]] + 1e-12)
+    assert np.all(np.isfinite(zt))

@@ -52,3 +52,45 @@ def test_analyze_outputs_along_solution():
     assert any(n.startswith("control") for n in tab.column_names)
     u2 = 0.5 * sol.state("/jointset/j/coord/speed") ** 2
     np.testing.assert_allclose(ke, u2, atol=1e-12)
+
+
+def test_rank_deficient_constraint_jacobian_warning(caplog):
+    """Redundant kinematic constraints trigger the reference's
+    rank-deficiency guidance (MocoCasADiSolver.cpp:352-398)."""
+    import logging
+
+    import numpy as np
+
+    from opensim_moco_tpu.models import MechModelBuilder
+    from opensim_moco_tpu.models.model import Model
+    from opensim_moco_tpu.ocp import Problem, Study
+
+    b = MechModelBuilder(gravity=(0.0, -9.81, 0.0))
+    b.add_body("l1", mass=1.0, com=(0.5, 0, 0), joint_name="j1",
+               kind="revolute", axis=(0, 0, 1), coord_name="q1")
+    b.add_body("l2", mass=1.0, com=(0.5, 0, 0), joint_name="j2",
+               kind="revolute", axis=(0, 0, 1), parent="l1",
+               tree_r=(1.0, 0.0, 0.0), coord_name="q2")
+    model = Model(b.finalize())
+    model.add_coordinate_actuator("t1", "q1", optimal_force=10)
+    import jax.numpy as jnp
+
+    # the same coupler twice: G has 2 identical rows -> rank 1
+    for name in ("c1", "c2"):
+        model.add_kinematic_constraint(
+            name, lambda mp, q: jnp.atleast_1d(q[1] - q[0]))
+    model.finalize()
+
+    prob = Problem(model)
+    prob.set_time_bounds(0, 0.5)
+    study = Study(prob)
+    study.set_solver_options(num_mesh_intervals=4,
+                             enforce_constraint_derivatives=False)
+    tr = study.transcription()
+    rep = tr.rep
+    Y = np.tile(np.asarray([0.3, 0.3, 0.0, 0.0]), (tr.G, 1))
+    with caplog.at_level(logging.WARNING, logger="opensim_moco_tpu"):
+        study._check_constraint_jacobian_rank(tr, rep, Y)
+    text = caplog.text
+    assert "Rank-deficient constraint Jacobian" in text
+    assert "minimize_lagrange_multipliers" in text
