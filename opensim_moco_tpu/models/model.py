@@ -342,6 +342,125 @@ class Model:
         """fn(mech_params, q) -> (k,) position-level constraint residual."""
         self.kinematic_constraints.append((name, fn))
 
+    # --- Simbody constraint type zoo (reference testConstraints.cpp
+    # exercises Weld/Point/PointOnLine/ConstantDistance/locked-coordinate
+    # constraints, :225-367; each is a phi(q) builder here — the
+    # transcription machinery treats them all uniformly)
+    def _body_point_world(self, frames, body, loc, dtype):
+        if body == GROUND:
+            return jnp.asarray(loc, dtype=dtype)
+        A, o = frames[body]
+        return o + A.T @ jnp.asarray(loc, dtype=dtype)
+
+    def add_point_constraint(self, name, body1, loc1, body2, loc2):
+        """Ball/point constraint: the two body-fixed stations coincide
+        (Simbody Constraint::Ball; testConstraints.cpp:258-276).
+        3 equations."""
+
+        def phi(mp, q):
+            fr = self.mech.frames(mp, q)
+            p1 = self._body_point_world(fr, body1, loc1, q.dtype)
+            p2 = self._body_point_world(fr, body2, loc2, q.dtype)
+            return p1 - p2
+
+        self.add_kinematic_constraint(name, phi)
+
+    def add_weld_constraint(self, name, body1, body2, loc1=(0, 0, 0),
+                            loc2=(0, 0, 0)):
+        """Weld: coincident stations + zero relative orientation (Simbody
+        Constraint::Weld; testConstraints.cpp:225-257). 6 equations (3
+        point + 3 from the skew part of the relative rotation)."""
+
+        def phi(mp, q):
+            fr = self.mech.frames(mp, q)
+            p1 = self._body_point_world(fr, body1, loc1, q.dtype)
+            p2 = self._body_point_world(fr, body2, loc2, q.dtype)
+            A1 = (jnp.eye(3, dtype=q.dtype) if body1 == GROUND
+                  else fr[body1][0])
+            A2 = (jnp.eye(3, dtype=q.dtype) if body2 == GROUND
+                  else fr[body2][0])
+            Rrel = A1 @ A2.T
+            rot = jnp.stack([Rrel[2, 1] - Rrel[1, 2],
+                             Rrel[0, 2] - Rrel[2, 0],
+                             Rrel[1, 0] - Rrel[0, 1]]) * 0.5
+            return jnp.concatenate([p1 - p2, rot])
+
+        self.add_kinematic_constraint(name, phi)
+
+    def add_point_on_line_constraint(self, name, line_body, line_origin,
+                                     line_direction, follower_body,
+                                     follower_point):
+        """The follower station lies on a line fixed in line_body (Simbody
+        Constraint::PointOnLine; testConstraints.cpp:277-299).
+        2 equations (components of the offset orthogonal to the line)."""
+        d = np.asarray(line_direction, dtype=np.float64)
+        d = d / np.linalg.norm(d)
+        # orthonormal complement of the line direction (static)
+        a = np.array([1.0, 0.0, 0.0])
+        if abs(d @ a) > 0.9:
+            a = np.array([0.0, 1.0, 0.0])
+        e1 = np.cross(d, a)
+        e1 /= np.linalg.norm(e1)
+        e2 = np.cross(d, e1)
+
+        def phi(mp, q):
+            fr = self.mech.frames(mp, q)
+            pf = self._body_point_world(fr, follower_body, follower_point,
+                                        q.dtype)
+            if line_body == GROUND:
+                off = pf - jnp.asarray(line_origin, dtype=q.dtype)
+                e1w, e2w = jnp.asarray(e1, q.dtype), jnp.asarray(e2, q.dtype)
+            else:
+                A, o = fr[line_body]
+                off = pf - (o + A.T @ jnp.asarray(line_origin,
+                                                  dtype=q.dtype))
+                e1w = A.T @ jnp.asarray(e1, q.dtype)
+                e2w = A.T @ jnp.asarray(e2, q.dtype)
+            return jnp.stack([off @ e1w, off @ e2w])
+
+        self.add_kinematic_constraint(name, phi)
+
+    def add_constant_distance_constraint(self, name, body1, loc1, body2,
+                                         loc2, distance):
+        """Fixed distance between two stations (Simbody
+        Constraint::ConstantDistance; testConstraints.cpp:300-324).
+        1 equation, written on squared distance for smoothness."""
+
+        def phi(mp, q):
+            fr = self.mech.frames(mp, q)
+            p1 = self._body_point_world(fr, body1, loc1, q.dtype)
+            p2 = self._body_point_world(fr, body2, loc2, q.dtype)
+            diff = p1 - p2
+            return jnp.atleast_1d(
+                0.5 * (diff @ diff - distance * distance) / distance)
+
+        self.add_kinematic_constraint(name, phi)
+
+    def add_locked_coordinate_constraint(self, name, coord, value):
+        """Lock a coordinate at a value (Coordinate::set_locked analogue;
+        testConstraints.cpp:325-345). 1 equation."""
+        ci = self.coord_index(coord) if isinstance(coord, str) else coord
+
+        def phi(mp, q):
+            return jnp.atleast_1d(q[ci] - value)
+
+        self.add_kinematic_constraint(name, phi)
+
+    def add_coordinate_coupler_constraint(self, name, dependent,
+                                          independent, fn):
+        """q_dep = fn(q_ind) (CoordinateCouplerConstraint;
+        testConstraints.cpp:346-367)."""
+        di = self.coord_index(dependent) if isinstance(dependent, str) \
+            else dependent
+        ii = self.coord_index(independent) if isinstance(independent, str) \
+            else independent
+        self.couplers.append((di, ii, fn))
+
+        def phi(mp, q):
+            return jnp.atleast_1d(q[di] - fn(q[ii]))
+
+        self.add_kinematic_constraint(name, phi)
+
     def set_position_motion(self, fn):
         """Prescribe all coordinates: fn(params, t) -> (q, u, udot).
 

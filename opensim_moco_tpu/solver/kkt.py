@@ -69,6 +69,87 @@ def block_tridiag_solve(D, L, rhs):
     return x[..., 0] if single else x
 
 
+def block_tridiag_solve_partitioned(D, L, rhs, axis_name):
+    """Parallel-in-time block-tridiagonal solve for use inside shard_map.
+
+    The grid axis is sharded over ``axis_name`` (SURVEY §2.8's CP
+    analogue: the KKT system of a direct collocation problem is
+    block-banded in the time axis — time-grouped sparsity documented at
+    reference CasOCTranscription.h:219-387). Partition/SPIKE scheme:
+
+    1. each device condenses its local chunk, expressing the local
+       unknowns affinely in the two neighbor boundary blocks:
+       ``x_loc = G - U x_left - V x_right`` (one multi-RHS local scan);
+    2. the 2P boundary unknowns (first/last block of every chunk) form a
+       small reduced system, assembled from an all_gather of the per-chunk
+       (U, V, G) boundary rows and solved replicated on every device;
+    3. local back-substitution.
+
+    Per-device inputs: D (Nl, nb, nb); L (Nl, nb, nb) where L[i] couples
+    local row i to row i+1 (the last row of the last shard is ignored);
+    rhs (Nl, nb). Returns the local (Nl, nb) solution shard.
+    """
+    idx = jax.lax.axis_index(axis_name)
+    P_ = jax.lax.psum(1, axis_name)
+    Nl, nb, _ = D.shape
+    dtype = D.dtype
+
+    # neighbor coupling blocks: L_left = last L of the previous shard
+    L_left = jax.lax.ppermute(L[-1], axis_name,
+                              [(i, (i + 1) % P_) for i in range(P_)])
+    is_first = idx == 0
+    is_last = idx == P_ - 1
+    L_left = jnp.where(is_first, jnp.zeros_like(L_left), L_left)
+    L_right = jnp.where(is_last, jnp.zeros_like(L[-1]), L[-1])
+
+    # local condensation: T_loc [G U V] = [rhs, E_f L_left, E_l L_right^T]
+    RHS = jnp.zeros((Nl, nb, 1 + 2 * nb), dtype=dtype)
+    RHS = RHS.at[:, :, 0].set(rhs)
+    RHS = RHS.at[0, :, 1:1 + nb].set(L_left)
+    RHS = RHS.at[Nl - 1, :, 1 + nb:].set(L_right.T)
+    sol = block_tridiag_solve(D, L[:-1], RHS)
+    G = sol[..., 0]              # (Nl, nb)
+    U = sol[..., 1:1 + nb]       # (Nl, nb, nb): coefficient of x_left
+    V = sol[..., 1 + nb:]        # (Nl, nb, nb): coefficient of x_right
+
+    # reduced system over boundary unknowns y = [x_first^p, x_last^p]_p:
+    # x_first^p = G_f - U_f x_last^{p-1} - V_f x_first^{p+1}
+    # x_last^p  = G_l - U_l x_last^{p-1} - V_l x_first^{p+1}
+    bnd = jnp.stack([G[0], G[-1]])                    # (2, nb)
+    Us = jnp.stack([U[0], U[-1]])                     # (2, nb, nb)
+    Vs = jnp.stack([V[0], V[-1]])
+    bnd_all = jax.lax.all_gather(bnd, axis_name)      # (P, 2, nb)
+    U_all = jax.lax.all_gather(Us, axis_name)         # (P, 2, nb, nb)
+    V_all = jax.lax.all_gather(Vs, axis_name)
+    m = 2 * P_ * nb
+    A = jnp.eye(m, dtype=dtype)
+    r = bnd_all.reshape(m)
+
+    def row(p, which):  # index of boundary unknown block
+        return (2 * p + which) * nb
+
+    for p in range(P_):
+        for which in (0, 1):
+            i0 = row(p, which)
+            if p > 0:  # depends on x_last of p-1
+                j0 = row(p - 1, 1)
+                A = jax.lax.dynamic_update_slice(
+                    A, U_all[p, which], (i0, j0))
+            if p < P_ - 1:  # depends on x_first of p+1
+                j0 = row(p + 1, 0)
+                A = jax.lax.dynamic_update_slice(
+                    A, V_all[p, which], (i0, j0))
+    y = jnp.linalg.solve(A, r)                        # replicated small solve
+    y = y.reshape(P_, 2, nb)
+    x_left = jnp.where(is_first, jnp.zeros(nb, dtype),
+                       y[jnp.maximum(idx - 1, 0), 1])
+    x_right = jnp.where(is_last, jnp.zeros(nb, dtype),
+                        y[jnp.minimum(idx + 1, P_ - 1), 0])
+    x = G - jnp.einsum("nij,j->ni", U, x_left) - \
+        jnp.einsum("nij,j->ni", V, x_right)
+    return x
+
+
 def bordered_block_tridiag_solve(D, L, B, C, rhs_T, rhs_C):
     """Solve [[T, B], [B^T, C]] [x; w] = [rhs_T; rhs_C].
 

@@ -143,3 +143,123 @@ def test_solution_physically_consistent_via_rollout():
             y = y + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
             t += h
     np.testing.assert_allclose(np.asarray(y), sol.states[-1], atol=2e-3)
+
+
+def _double_pendulum(g=9.81):
+    b = MechModelBuilder(gravity=(0.0, -g, 0.0))
+    b.add_body("l1", mass=1.0, com=(0.5, 0, 0), inertia=np.diag(
+        [0.0, 0.0, 1.0 / 12]), joint_name="j1", kind="revolute",
+        axis=(0, 0, 1), coord_name="q1")
+    b.add_body("l2", mass=1.0, com=(0.5, 0, 0), inertia=np.diag(
+        [0.0, 0.0, 1.0 / 12]), joint_name="j2", kind="revolute",
+        axis=(0, 0, 1), parent="l1", tree_r=(1.0, 0.0, 0.0),
+        coord_name="q2")
+    return b
+
+
+def test_constraint_type_zoo_phi_values():
+    """phi(q) of each Simbody-analogue constraint type at known poses
+    (reference type coverage: testConstraints.cpp:225-367)."""
+    b = _double_pendulum()
+    model = Model(b.finalize())
+    model.add_point_constraint("pt", 1, (1.0, 0, 0), -1, (2.0, 0.0, 0.0))
+    model.add_weld_constraint("weld", 1, -1, (1.0, 0, 0), (2.0, 0.0, 0.0))
+    model.add_point_on_line_constraint(
+        "pol", -1, (0.0, 0.0, 0.0), (1.0, 0.0, 0.0), 1, (1.0, 0.0, 0.0))
+    model.add_constant_distance_constraint(
+        "dist", -1, (0.0, 0.0, 0.0), 1, (1.0, 0.0, 0.0), 2.0)
+    model.add_locked_coordinate_constraint("lock", "q2", 0.3)
+    model.finalize()
+    p = model.default_params()
+
+    # stretched horizontal: tip at (2, 0, 0)
+    q = jnp.asarray([0.0, 0.0])
+    phi = np.asarray(model.phi(p, q))
+    # point (3) + weld (6) + point-on-line (2) + distance (1) + lock (1)
+    assert phi.shape == (13,)
+    np.testing.assert_allclose(phi[:3], 0.0, atol=1e-12)       # tip at (2,0,0)
+    np.testing.assert_allclose(phi[3:9], 0.0, atol=1e-12)      # weld aligned
+    np.testing.assert_allclose(phi[9:11], 0.0, atol=1e-12)     # tip on x-axis
+    np.testing.assert_allclose(phi[11], 0.0, atol=1e-12)       # |tip| = 2
+    np.testing.assert_allclose(phi[12], -0.3, atol=1e-12)      # q2 - 0.3
+
+    # elbow at 90 deg: tip at (1, 1, 0)
+    q = jnp.asarray([0.0, np.pi / 2])
+    phi = np.asarray(model.phi(p, q))
+    np.testing.assert_allclose(phi[:3], [-1.0, 1.0, 0.0], atol=1e-12)
+    # weld rotation rows: relative angle pi/2 about z -> rot = [0,0,sin]
+    np.testing.assert_allclose(phi[6:9], [0.0, 0.0, -np.sin(np.pi / 2)],
+                               atol=1e-12)
+    # point-on-line: off-axis y component = 1
+    assert abs(abs(phi[9]) + abs(phi[10]) - 1.0) < 1e-12
+    # distance: |(1,1)| = sqrt(2); phi = (2 - 4)/(2*2)
+    np.testing.assert_allclose(phi[11], 0.5 * (2.0 - 4.0) / 2.0, atol=1e-12)
+
+
+def test_locked_coordinate_multiplier_analytic():
+    """Pendulum with its coordinate locked: constrained dynamics give
+    udot = 0 and the multiplier carries the exact gravity torque
+    (multiplier-vs-analytic strategy of testConstraints.cpp:1314)."""
+    g = 9.81
+    b = MechModelBuilder(gravity=(0.0, -g, 0.0))
+    b.add_body("l1", mass=1.0, com=(0.5, 0, 0), inertia=np.diag(
+        [0.0, 0.0, 1.0 / 12]), joint_name="j1", kind="revolute",
+        axis=(0, 0, 1), coord_name="q1")
+    model = Model(b.finalize())
+    model.add_locked_coordinate_constraint("lock", "q1", 0.2)
+    model.finalize()
+    p = model.default_params()
+    q = jnp.asarray([0.2])
+    u = jnp.zeros(1)
+    z = jnp.zeros(0)
+    x = jnp.zeros(0)
+    # solve the constrained system [M G^T; G 0][udot; lam] = [tau; 0]
+    M = np.asarray(model.mech.mass_matrix(p["mech"], q))
+    G = np.asarray(model.constraint_jacobian(p, q))
+    tau = np.asarray(model.applied_generalized_forces(p, 0.0, q, u, z, x))
+    bias = np.asarray(model.mech.bias_forces(p["mech"], q, u))
+    K = np.block([[M, G.T], [G, np.zeros((1, 1))]])
+    sol = np.linalg.solve(K, np.concatenate([tau - bias, [0.0]]))
+    udot, lam = sol[0], sol[1]
+    np.testing.assert_allclose(udot, 0.0, atol=1e-12)
+    # gravity torque on the locked pendulum: -m g (L/2) cos(q)
+    np.testing.assert_allclose(lam, -1.0 * g * 0.5 * np.cos(0.2),
+                               rtol=1e-12)
+    # the model's own constrained explicit dynamics agree
+    udot2 = np.asarray(model.multibody_explicit(
+        p, 0.0, q, u, z, x, jnp.asarray([lam])))
+    np.testing.assert_allclose(udot2, 0.0, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_point_constraint_supported_pendulum_solve():
+    """Double pendulum with its tip pinned to ground: the structure is
+    statically supported, so the min-effort hold needs zero control and
+    the multipliers carry gravity (testConstraints.cpp:843-896 pattern)."""
+    b = _double_pendulum()
+    model = Model(b.finalize())
+    model.add_coordinate_actuator("t1", "q1", optimal_force=20.0)
+    model.add_coordinate_actuator("t2", "q2", optimal_force=20.0)
+    # pin the tip at (1, 1, 0): consistent with q = (0, pi/2)
+    model.add_point_constraint("pin", 1, (1.0, 0.0, 0.0), -1,
+                               (1.0, 1.0, 0.0))
+    model.finalize()
+
+    prob = Problem(model)
+    prob.set_time_bounds(0, 0.5)
+    q0 = (0.0, np.pi / 2)
+    prob.set_state_info("/jointset/j1/q1/value", (-2, 2), q0[0])
+    prob.set_state_info("/jointset/j2/q2/value", (-2, 3), q0[1])
+    prob.add_goal(ControlGoal(name="effort"))
+    study = Study(prob)
+    study.set_solver_options(num_mesh_intervals=6,
+                             transcription_scheme="hermite-simpson")
+    study.set_ipm_options(tol=1e-6, max_iter=500)
+    sol = study.solve()
+    assert sol.success
+    # zero effort: the pin carries the load
+    assert sol.objective < 1e-6
+    np.testing.assert_allclose(sol.state("/jointset/j1/q1/value"), q0[0],
+                               atol=1e-4)
+    np.testing.assert_allclose(sol.state("/jointset/j2/q2/value"), q0[1],
+                               atol=1e-4)
