@@ -101,6 +101,13 @@ class IPMOptions:
     #   inertia-free regularization loop already treats as "escalate
     #   delta" — the same effect as IPOPT's inertia correction.
     dense_factorization: str = "lu"
+    # iterative refinement passes on every KKT solve: recompute the KKT
+    # residual in operator form (H matvec + constraint jvp/vjp) and solve
+    # for a correction with the SAME factorization. Recovers most of the
+    # accuracy a higher-precision factorization would give — the
+    # fp32-factor + refinement scheme SURVEY §7 calls for on TPU, where
+    # f64 LU does not compile and f64 Cholesky is ~400x slower than f32.
+    kkt_refine_iters: int = 0
 
 
 class IPMResult(NamedTuple):
@@ -509,12 +516,30 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
             def H_mv(v):
                 return H @ v
 
+        def kkt_solve_refined(fac, delta, r1, r2):
+            """kkt_solve + operator-form iterative refinement (the
+            fp32-factor/refined-residual scheme; kkt_refine_iters=0 is a
+            plain solve)."""
+            dz, dnu = kkt_solve(fac, r1, r2)
+            delta_c = 1e-8 * wscale
+            for _ in range(opt.kkt_refine_iters):
+                Jt_dnu = (jax.vjp(c_fn, z)[1](dnu)[0] if m
+                          else jnp.zeros_like(dz))
+                Jdz = (jax.jvp(c_fn, (z,), (dz,))[1] if m
+                       else jnp.zeros((0,), dtype))
+                e1 = r1 - (H_mv(dz) + delta * dz + Jt_dnu)
+                e2 = r2 - (Jdz - delta_c * dnu)
+                ddz, ddnu = kkt_solve(fac, e1, e2)
+                dz = dz + ddz
+                dnu = dnu + ddnu
+            return dz, dnu
+
         # ---- inertia-free regularization loop with delta warm-starting
         # (IPOPT: first trial delta = max(delta_min, delta_last / 3); a
         # line-search failure last iteration escalates the starting delta)
         def try_delta(delta, tries):
             fac = kkt_factor(delta)
-            dz, dnu = kkt_solve(fac, rhs1, rhs2)
+            dz, dnu = kkt_solve_refined(fac, delta, rhs1, rhs2)
             curv = dz @ H_mv(dz) + delta * (dz @ dz)
             curv_ok = curv >= 1e-9 * (dz @ dz)
             size_ok = _inf_norm(dz) <= 1e6 * jnp.maximum(1.0, _inf_norm(z))
@@ -590,7 +615,7 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         acc_full, armi_full = test_alpha(alpha_pr_max, z_full)
 
         c_soc = alpha_pr_max * cz + c_fn(z_full)
-        dz_soc, _ = kkt_solve(fac, rhs1, -c_soc)
+        dz_soc, _ = kkt_solve_refined(fac, delta, rhs1, -c_soc)
         alpha_soc = jnp.minimum(max_step(dl, dz_soc, has_l),
                                 max_step(du, -dz_soc, has_u))
         z_soc = z + alpha_soc * dz_soc

@@ -103,3 +103,48 @@ def test_vmapped_batch_of_starts():
     expected = np.array([0.4, 0.8])
     for i in range(3):
         np.testing.assert_allclose(np.asarray(res.z[i]), expected, atol=1e-7)
+
+
+def test_kkt_iterative_refinement_f32():
+    """fp32 factorization + operator-form iterative refinement (SURVEY §7
+    scheme for TPU where f64 LU is unavailable): refinement must reach a
+    tighter tolerance in f32 than the plain f32 solve on an
+    ill-conditioned problem."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opensim_moco_tpu.solver.ipm import IPMOptions, make_solver
+    from opensim_moco_tpu.solver.nlp import NLP
+
+    # ill-conditioned QP: min 0.5 x^T Q x - b^T x  s.t. A x = c, x >= lb
+    rng = np.random.default_rng(0)
+    n, m = 40, 12
+    U = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    Q = (U * np.logspace(0, 6, n)) @ U.T
+    b = rng.standard_normal(n)
+    A = rng.standard_normal((m, n))
+    c = A @ rng.standard_normal(n) * 0.1
+
+    def obj(z):
+        return 0.5 * z @ jnp.asarray(Q, jnp.float32) @ z - \
+            jnp.asarray(b, jnp.float32) @ z
+
+    def cons(z):
+        return jnp.asarray(A, jnp.float32) @ z - jnp.asarray(c, jnp.float32)
+
+    lb = np.full(n, -10.0)
+    ub = np.full(n, 10.0)
+    nlp = NLP(n=n, m=m, objective=obj, constraints=cons, lb=lb, ub=ub)
+    z0 = jnp.zeros(n, jnp.float32)
+
+    kkts = {}
+    for refine in (0, 2):
+        opts = IPMOptions(tol=1e-7, max_iter=80, mu_init=1e-2,
+                          dense_factorization="chol-schur",
+                          kkt_refine_iters=refine)
+        res = jax.jit(make_solver(nlp, opts))(z0)
+        kkts[refine] = float(res.kkt_error)
+    # refinement should not be worse, and usually much better
+    assert kkts[2] <= kkts[0] * 2.0, kkts
+    assert np.isfinite(kkts[2])
