@@ -832,7 +832,9 @@ def make_chunked_solver(nlp: NLP, options: IPMOptions = IPMOptions(),
         def cond(c):
             return (~c.converged) & (c.it < iter_limit)
 
-        return jax.lax.while_loop(cond, body_fn, carry)
+        # full-f32 matmul accumulation on TPU (see make_solver)
+        with jax.default_matmul_precision("highest"):
+            return jax.lax.while_loop(cond, body_fn, carry)
 
     return init_fn, run_chunk, finalize_fn
 
@@ -849,7 +851,13 @@ def make_solver(nlp: NLP, options: IPMOptions = IPMOptions(),
                                                          scale_z0=scale_z0)
 
     def solve(z0_full):
-        out = jax.lax.while_loop(cond_fn, body_fn, init_fn(z0_full))
-        return finalize_fn(out)
+        # TPU f32 matmuls default to bf16-compensated passes, which poison
+        # IPM Jacobians/Newton systems: on the bench batch this costs 4/32
+        # lanes and ~2x the iterations (30.4 -> 55 mean). Force full-f32
+        # matmul accumulation for everything inside the solver; CPU/GPU
+        # are unaffected.
+        with jax.default_matmul_precision("highest"):
+            out = jax.lax.while_loop(cond_fn, body_fn, init_fn(z0_full))
+            return finalize_fn(out)
 
     return solve
