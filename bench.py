@@ -1,82 +1,146 @@
 """Benchmark: batched trajectory-optimization throughput on one chip.
 
-Solves a batch of hanging-muscle minimum-time problems (BASELINE.json
-config "exampleHangingMuscle": DeGrooteFregly2016 muscle + activation
-dynamics, Hermite-Simpson, implicit multibody dynamics) from jittered
-initial guesses, end-to-end interior-point solves, and reports solves/s on
-the local accelerator.
+Two lanes, both end-to-end interior-point solves in f32 on the local
+accelerator:
 
-vs_baseline: the reference (single-threaded CasADi+IPOPT with FD
-derivatives) could not be built in this image (empty opensim-core/simbody
-submodules, no network). Its wall-clock for this config is conservatively
-estimated at 10 solves/s per CPU (reference solves this class of problem
-in ~0.1 s/solve at best; see testMocoActuators.cpp:1088). vs_baseline is
-measured_solves_per_s / 10.
+1. NORTH STAR (headline metric): batched 2D-walking MocoTrack solves
+   (BASELINE.json's target config; reference example2DWalking.cpp:55-185
+   gaitTracking — 10 DoF, 18 DGF muscles, contact spheres, half-cycle
+   symmetry, GRF tracking) at 15 mesh intervals, B=4.
+2. exampleHangingMuscle (BASELINE.json correctness config) with FULL
+   muscle dynamics — activation + implicit tendon compliance, mirroring
+   testMocoActuators.cpp:1088 — B=32 jittered guesses, plus the
+   r1-r3-comparable simplified variant (rigid tendon, no activation
+   dynamics) for cross-round continuity.
 
-Prints ONE JSON line.
+vs_baseline: the reference (single-threaded CasADi+IPOPT, FD derivatives)
+could not be built in this image (empty opensim-core/simbody submodules,
+no network). Its wall-clock for the 2D-walking tracking problem is
+estimated at 300 s/solve on a CPU core (the example's own docs describe
+~minutes-scale solves; Falisse et al. 2019 report minutes for equivalent
+AD-based gait problems, example2DWalking.cpp:23-26), i.e. ~0.0033
+solves/s. vs_baseline = measured / 0.0033.
+
+Prints ONE JSON line. Partial results are checkpointed to
+BENCH_PARTIAL.json as lanes finish, in case of an external timeout.
 """
 
 import json
+import os
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+
 import jax.numpy as jnp
 import numpy as np
 
+PARTIAL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_PARTIAL.json")
 
-def main():
+
+def _timed_batch(batched, Z0):
+    res = batched(Z0)
+    res.z.block_until_ready()
+    t0 = time.perf_counter()
+    res = batched(Z0)
+    res.z.block_until_ready()
+    dt = time.perf_counter() - t0
+    conv, mit = jax.device_get((jnp.sum(res.converged),
+                                jnp.mean(res.iterations.astype(jnp.float32))))
+    return dt, int(conv), float(mit)
+
+
+def lane_hanging(full_dynamics):
     from opensim_moco_tpu.examples import hanging_muscle_study
     from opensim_moco_tpu.parallel import batch_guesses
     from opensim_moco_tpu.solver.ipm import IPMOptions, make_solver
 
-    # float32 on TPU (f64 LU is not implemented on-device); tolerances set
-    # accordingly. CPU fallback also works.
-    study = hanging_muscle_study(25, ignore_tendon_compliance=True,
-                                 ignore_activation_dynamics=True)
+    study = hanging_muscle_study(
+        25,
+        ignore_tendon_compliance=not full_dynamics,
+        ignore_activation_dynamics=not full_dynamics,
+        tendon_dynamics_implicit=full_dynamics)
     tr = study.transcription()
     nlp = tr.make_nlp()
     z0 = tr.initial_guess(dtype=jnp.float32)
-    opts = IPMOptions(tol=3e-3, max_iter=150, bound_relax=1e-6,
-                      mu_init=1e-1, acceptable_tol_factor=30.0,
-                      acceptable_iter=10)
+    opts = IPMOptions(tol=3e-3, max_iter=200 if full_dynamics else 150,
+                      bound_relax=1e-6, mu_init=1e-2,
+                      acceptable_tol_factor=30.0, acceptable_iter=10,
+                      max_rescues=100)
     solve = make_solver(nlp, opts, scale_z0=z0)
     batched = jax.jit(jax.vmap(solve))
-
     B = 32
     Z0 = batch_guesses(tr, B, scale=0.05, seed=0).astype(jnp.float32)
+    dt, conv, mit = _timed_batch(batched, Z0)
+    return {"batch": B, "converged": conv, "mean_iterations": mit,
+            "wall_s_per_batch": round(dt, 3),
+            "solves_per_s": round(B / dt, 3),
+            "converged_solves_per_s": round(conv / dt, 3)}
 
-    # compile + warmup (single summary readback: d2h is seconds-expensive
-    # on tunneled TPU runtimes, so never read per-element)
-    @jax.jit
-    def run(Z):
-        res = batched(Z)
-        return res.z[:, 1], jnp.sum(res.converged), jnp.mean(
-            res.iterations.astype(jnp.float32))
 
-    tfs, n_ok, mean_it = run(Z0)
-    tfs.block_until_ready()
+def lane_gait2d():
+    from opensim_moco_tpu.examples import gait2d_tracking_study
+    from opensim_moco_tpu.solver.ipm import IPMOptions, make_solver
 
-    reps = 2
-    start = time.perf_counter()
-    for _ in range(reps):
-        tfs, n_ok, mean_it = run(Z0)
-        tfs.block_until_ready()
-    dt = (time.perf_counter() - start) / reps
-    n_ok_h, mean_it_h = jax.device_get((n_ok, mean_it))
+    study, guess = gait2d_tracking_study(num_mesh_intervals=15, tol=1e-3)
+    tr = study.transcription()
+    nlp = tr.make_nlp()
+    z0 = np.asarray(guess, dtype=np.float32)
+    opts = IPMOptions(tol=1e-4, max_iter=250, mu_init=1e-2, max_rescues=100,
+                      acceptable_tol_factor=30.0, acceptable_iter=10,
+                      hessian_approximation="objective-only")
+    solve = make_solver(nlp, opts, scale_z0=z0)
+    B = 4
+    rng = np.random.default_rng(0)
+    Z0 = np.stack([z0] + [z0 + 0.005 * rng.standard_normal(
+        z0.shape).astype(np.float32) for _ in range(B - 1)])
+    batched = jax.jit(jax.vmap(solve))
+    dt, conv, mit = _timed_batch(batched, jnp.asarray(Z0))
+    return {"batch": B, "converged": conv, "mean_iterations": mit,
+            "wall_s_per_batch": round(dt, 3),
+            "solves_per_s": round(B / dt, 4),
+            "converged_solves_per_s": round(conv / dt, 4)}
 
-    solves_per_s = B / dt
-    out = {
-        "metric": "hanging_muscle_hs25_batched_solves_per_s_per_chip",
-        "value": round(solves_per_s, 3),
+
+def _checkpoint(out):
+    with open(PARTIAL, "w") as fh:
+        json.dump(out, fh)
+
+
+def main():
+    dev = str(jax.devices()[0])
+    out = {"device": dev}
+
+    hs = lane_hanging(full_dynamics=False)
+    out["hanging_muscle_simplified"] = hs
+    _checkpoint(out)
+
+    hf = lane_hanging(full_dynamics=True)
+    out["hanging_muscle_full_dynamics"] = hf
+    _checkpoint(out)
+
+    g = lane_gait2d()
+    out["gait2d_track"] = g
+    _checkpoint(out)
+
+    baseline_gait = 1.0 / 300.0  # estimated reference solves/s (docstring)
+    result = {
+        "metric": "gait2d_track_hs15_batched_solves_per_s_per_chip",
+        "value": g["solves_per_s"],
         "unit": "solves/s/chip",
-        "vs_baseline": round(solves_per_s / 10.0, 3),
-        "batch": B,
-        "converged": int(n_ok_h),
-        "mean_iterations": float(mean_it_h),
-        "wall_s_per_batch": round(dt, 3),
-        "device": str(jax.devices()[0]),
+        "vs_baseline": round(g["solves_per_s"] / baseline_gait, 1),
+        "gait2d_converged": f"{g['converged']}/{g['batch']}",
+        "hanging_full_solves_per_s": hf["solves_per_s"],
+        "hanging_full_converged": f"{hf['converged']}/{hf['batch']}",
+        "hanging_simplified_solves_per_s": hs["solves_per_s"],
+        "hanging_simplified_converged": f"{hs['converged']}/{hs['batch']}",
+        "device": dev,
     }
-    print(json.dumps(out))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
