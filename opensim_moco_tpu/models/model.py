@@ -894,7 +894,9 @@ class Model:
         if nm:
             exc, act, ft = self._muscle_vec_state(z, x)
             F_m = self._muscle_forces_vec(p, act, ft, L, Ldot)
-            L_cot = -F_m  # tension shortens the path
+            # tension shortens the path; cast back in case f64 params
+            # promoted the force under an x64-enabled host (f32 solves)
+            L_cot = (-F_m).astype(L.dtype)
         P_cot = jnp.zeros((nsp + nsc + nef, 3), dtype=dtype)
         for k, spec in enumerate(self.sphere_contacts):
             P_cot = P_cot.at[k].set(
