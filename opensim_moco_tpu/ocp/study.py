@@ -171,7 +171,15 @@ class Study:
         tr = self.transcription()
         rep = tr.rep
         nlp = tr.make_nlp()
-        z0 = tr.initial_guess() if guess is None else guess
+        if guess is None:
+            z0 = tr.initial_guess()
+        elif hasattr(guess, "state_names"):
+            # a Trajectory/Solution: resample onto this grid (reference
+            # MocoCasADiSolver::setGuess accepts a MocoTrajectory and
+            # resamples, MocoCasADiSolver.h:105-128)
+            z0 = tr.guess_from_trajectory(guess)
+        else:
+            z0 = guess
         start = _time.perf_counter()
         if checkpoint_interval or interrupt_file:
             init_fn, run_chunk, finalize_fn = make_chunked_solver(
@@ -227,7 +235,7 @@ class Study:
             states=np.asarray(Y),
             control_names=list(rep.control_names),
             controls=np.asarray(X),
-            multiplier_names=[f"lambda_{i}" for i in range(tr.nlam)],
+            multiplier_names=rep.model.multiplier_names(),
             multipliers=np.asarray(L),
             derivative_names=deriv_names,
             derivatives=np.asarray(D),

@@ -158,6 +158,37 @@ def _bspline_deriv_design(pts, t, k, nu):
     return out
 
 
+def quintic_resample(x, Y, new_x):
+    """Host-side vectorized resample of a table ``Y`` (n, d) from grid ``x``
+    onto ``new_x`` using the natural quintic interpolant — the analogue of
+    the reference's GCVSpline(degree=5) resampling in
+    MocoTrajectory::resample (reference Moco/Moco/MocoTrajectory.h:235,
+    which builds a GCVSplineSet of degree min(5, n-1) over each column).
+    Falls back to the highest odd degree the table supports for short
+    tables, matching the reference's degree clamp."""
+    from scipy.interpolate import PPoly, make_interp_spline
+
+    x = np.asarray(x, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    new_x = np.asarray(new_x, dtype=np.float64)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    if Y.shape[1] == 0:
+        return np.zeros((len(new_x), 0))
+    if len(x) == 1:
+        return np.repeat(Y, len(new_x), axis=0)
+    # evaluation clamped to the data range (the reference errors on
+    # out-of-range resample times; we clamp, callers pre-check ranges)
+    tq = np.clip(new_x, x[0], x[-1])
+    if len(x) > 5:
+        xb, C = _natural_quintic_coeffs(x, Y)
+        return np.stack([PPoly(C[:, :, j], xb)(tq)
+                         for j in range(Y.shape[1])], axis=1)
+    k = max(1, min(3, len(x) - 1))
+    return np.stack([make_interp_spline(x, Y[:, j], k=k)(tq)
+                     for j in range(Y.shape[1])], axis=1)
+
+
 class QuinticSpline:
     """Interpolating quintic spline matching the reference's GCVSpline of
     degree 5 with zero smoothing (Woltring's natural quintic — minimum

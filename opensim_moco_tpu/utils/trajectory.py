@@ -44,15 +44,26 @@ class Trajectory:
     def final_time(self):
         return float(self.time[-1])
 
-    def resample(self, new_time):
-        """Linear-interpolation resample (reference uses GCVSpline,
-        MocoTrajectory.h:235; linear matches tropter Iterate::interpolate)."""
+    def resample(self, new_time, method="quintic"):
+        """Resample all continuous columns onto ``new_time``.
+
+        ``method="quintic"`` (default) matches the reference, which
+        resamples through a GCVSplineSet of degree min(5, n-1)
+        (MocoTrajectory.h:235 / MocoTrajectory.cpp resampleWithNumTimes);
+        ``method="linear"`` matches tropter Iterate::interpolate and is
+        kept for piecewise-constant data (e.g. bang-bang controls)."""
         new_time = np.asarray(new_time)
 
         def interp(table):
             if table is None or table.size == 0:
                 return (None if table is None
                         else np.zeros((len(new_time), table.shape[1])))
+            if method == "quintic":
+                from .splines import quintic_resample
+                try:
+                    return quintic_resample(self.time, table, new_time)
+                except Exception:
+                    pass  # degenerate grid (duplicate times): fall back
             return np.stack([
                 np.interp(new_time, self.time, table[:, j])
                 for j in range(table.shape[1])], axis=1)

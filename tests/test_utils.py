@@ -116,3 +116,22 @@ def test_cli_report(tmp_path):
     rc = main(["report", REF_STO, "--out", str(out), "--title", "t"])
     assert rc == 0
     assert out.read_bytes()[:5] == b"%PDF-"
+
+
+def test_quintic_resample_beats_linear():
+    """Trajectory.resample uses the GCVSpline(5) analogue
+    (MocoTrajectory.h:235): on smooth data the quintic resample error is
+    orders of magnitude below linear interpolation."""
+    t = np.linspace(0, 1, 11)
+    tr = Trajectory(time=t, state_names=["s"], states=np.sin(6 * t)[:, None],
+                    control_names=[], controls=np.zeros((11, 0)))
+    tq = np.linspace(0, 1, 101)
+    lin = tr.resample(tq, method="linear")
+    qui = tr.resample(tq)
+    err_lin = np.max(np.abs(lin.state("s") - np.sin(6 * tq)))
+    err_qui = np.max(np.abs(qui.state("s") - np.sin(6 * tq)))
+    assert err_qui < err_lin / 5
+    # away from the natural-BC boundary layer the quintic is near machine
+    interior = (tq > 0.2) & (tq < 0.8)
+    err_int = np.max(np.abs(qui.state("s")[interior] - np.sin(6 * tq)[interior]))
+    assert err_int < err_lin / 40
