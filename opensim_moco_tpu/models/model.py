@@ -249,6 +249,13 @@ class Model:
         # dicts with body, force_fn(t), point_fn(t), torque_fn(t)|None
         self.external_forces: list[dict] = []
         self.kinematic_constraints: list[tuple[str, Callable]] = []
+        # MarkerSet analogue: marker name -> (body index, location in body
+        # frame), populated by parse_osim for marker tracking
+        # (reference MocoTrack.cpp:235)
+        self.markers: dict[str, tuple] = {}
+        # nonlinear scalar-controlled forces: (name, fn, min, max) with
+        # fn(p, t, q, u, control) -> (nq,) generalized forces
+        self.custom_control_forces: list[tuple] = []
         # CoordinateCouplerConstraint metadata (dep_idx, ind_idx, fn) so
         # tools can project dependent coordinates onto the constraint
         # manifold, like the reference's assembled StatesTrajectory
@@ -337,6 +344,17 @@ class Model:
         self.external_forces.append({
             "name": name, "body": body, "force_fn": force_fn,
             "point_fn": point_fn, "torque_fn": torque_fn})
+
+    def add_custom_control_force(self, name, fn, min_control=-np.inf,
+                                 max_control=np.inf):
+        """Scalar-controlled generalized force with arbitrary (nonlinear)
+        control dependence: ``fn(p, t, q, u, control) -> (nq,)`` generalized
+        forces. The analogue of subclassing ScalarActuator with a custom
+        computeForce, e.g. the thrust-direction actuator of the linear
+        tangent steering study (reference MocoStudyFactory.cpp:29-50).
+        Appends one control named /forceset/<name>."""
+        self.custom_control_forces.append(
+            (name, fn, float(min_control), float(max_control)))
 
     def add_kinematic_constraint(self, name, fn):
         """fn(mech_params, q) -> (k,) position-level constraint residual."""
@@ -533,15 +551,31 @@ class Model:
                     self._mv["imp_didx"][i] = \
                         self._implicit_aux.index(ms.name)
             self._mv["nopass"][i] = ms.ignore_passive_fiber_force
-        # kinematic constraint count
+        # kinematic constraint count + per-constraint equation counts for
+        # multiplier naming (reference MocoProblemRep.cpp:208-228:
+        # "lambda_cid{cid}_p{i}" per holonomic equation)
         p0 = self.default_params()
         q0 = jnp.zeros(self.nq)
-        self.nphi = sum(int(np.asarray(fn(p0["mech"], q0)).size)
-                        for _, fn in self.kinematic_constraints)
+        self._constraint_eqs = [
+            (name, int(np.asarray(fn(p0["mech"], q0)).size))
+            for name, fn in self.kinematic_constraints]
+        self.nphi = sum(k for _, k in self._constraint_eqs)
         self._finalized = True
         return self
 
     # names --------------------------------------------------------------
+    def multiplier_names(self):
+        """Lagrange-multiplier column names, one per holonomic constraint
+        equation, in row order of :meth:`phi` — the reference's
+        "lambda_cid{cid}_p{i}" convention (MocoProblemRep.cpp:208-214),
+        with the constraint's position in the kinematic-constraint list as
+        cid. All our kinematic constraints are position-level (holonomic),
+        so only the _p family appears."""
+        names = []
+        for cid, (_, k) in enumerate(self._constraint_eqs):
+            names += [f"lambda_cid{cid}_p{i}" for i in range(k)]
+        return names
+
     def coordinate_paths(self):
         """Moco-style absolute paths per coordinate, in mech coordinate
         order (multi-coordinate CustomJoints contribute one path per
@@ -568,7 +602,8 @@ class Model:
 
     def control_names(self):
         return ([f"/forceset/{a.name}" for a in self.actuators] +
-                [f"/forceset/{m.name}" for m in self.muscles])
+                [f"/forceset/{m.name}" for m in self.muscles] +
+                [f"/forceset/{c[0]}" for c in self.custom_control_forces])
 
     def default_control_bounds(self):
         lo, hi = [], []
@@ -578,6 +613,9 @@ class Model:
         for m in self.muscles:
             lo.append(m.min_control)
             hi.append(m.max_control)
+        for _, _, cl, cu in self.custom_control_forces:
+            lo.append(cl)
+            hi.append(cu)
         return np.array(lo), np.array(hi)
 
     def default_state_bounds(self):
@@ -835,6 +873,12 @@ class Model:
         # coordinate actuators (vectorized scatter-add)
         if include_controls:
             tau = tau + self.tau_controls(p, x).astype(dtype)
+            # nonlinear scalar-controlled forces (reference ScalarActuator
+            # subclasses with custom computeForce, MocoStudyFactory.cpp:29)
+            off = len(self.actuators) + len(self.muscles)
+            for j, (_, fn, _, _) in enumerate(self.custom_control_forces):
+                tau = tau + jnp.asarray(fn(p, t, q, u, x[off + j]),
+                                        dtype=dtype)
         # springs / dampers
         if self.springs:
             sp = p["spring"]

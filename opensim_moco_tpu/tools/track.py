@@ -25,6 +25,13 @@ class Track:
     scale_state_weights_with_range: bool = False
     track_reference_position_derivatives: bool = False
     states_global_weight: float = 1.0
+    # marker tracking (reference markers_reference / markers_weight_set /
+    # markers_global_tracking_weight, MocoTrack.h:208-230 and
+    # MocoTrack.cpp:235-270): a TrcTable or a path to a .trc file
+    markers_reference: object = None
+    markers_weights: dict = dataclasses.field(default_factory=dict)
+    markers_global_weight: float = 1.0
+    allow_unused_references: bool = False
     control_effort_weight: float = 0.001
     initial_time: float | None = None
     final_time: float | None = None
@@ -33,8 +40,45 @@ class Track:
     max_iterations: int = 2000
     lowpass_cutoff: float | None = None  # Hz
 
+    def _markers_dict(self):
+        """(model_markers, reference, weights) for MarkerTrackingGoal, or
+        None when no markers reference is set. Pairs the model MarkerSet
+        with the TRC columns like the reference's MarkersReference
+        (MocoTrack.cpp:235-270); frames where a marker is occluded (NaN)
+        are dropped per-marker."""
+        if self.markers_reference is None:
+            return None
+        ref = self.markers_reference
+        if isinstance(ref, str):
+            from ..utils.tables import read_trc
+            ref = read_trc(ref)
+        if not self.model._finalized:
+            self.model.finalize()
+        model_markers = dict(getattr(self.model, "markers", {}))
+        unused = [n for n in ref.marker_names if n not in model_markers]
+        if unused and not self.allow_unused_references:
+            raise ValueError(
+                "markers reference contains markers absent from the model "
+                f"MarkerSet: {unused[:5]}{'...' if len(unused) > 5 else ''} "
+                "(set allow_unused_references=True to ignore, like the "
+                "reference's allow_unused_references property)")
+        markers = {}
+        reference = {}
+        for name in ref.marker_names:
+            if name not in model_markers:
+                continue
+            pos = ref.marker(name)  # (K, 3)
+            ok = ~np.any(np.isnan(pos), axis=1)
+            if not np.any(ok):
+                continue
+            markers[name] = model_markers[name]
+            reference[name] = (ref.time[ok], pos[ok])
+        return markers, reference, dict(self.markers_weights)
+
     def _reference_dict(self):
         ref = self.states_reference
+        if ref is None:
+            return None, None
         if hasattr(ref, "column_names"):  # StoTable
             from ..utils.processors import filter_lowpass
             if self.lowpass_cutoff:
@@ -67,7 +111,8 @@ class Track:
         import numpy as np
         tr = study.transcription()
         z = np.array(tr.initial_guess())
-        if not self.apply_tracked_states_to_guess:
+        if not self.apply_tracked_states_to_guess or \
+                self.states_reference is None:
             return z
         times, data = self._reference_dict()
         t0, tf = z[0], z[1]
@@ -83,20 +128,45 @@ class Track:
 
     def build_study(self) -> Study:
         times, data = self._reference_dict()
-        t0 = self.initial_time if self.initial_time is not None else times[0]
-        tf = self.final_time if self.final_time is not None else times[-1]
+        marker_cfg = self._markers_dict()
+        if times is None and marker_cfg is None:
+            raise ValueError("Track requires a states_reference and/or a "
+                             "markers_reference (MocoTrack.cpp:76-83)")
+        # time window: intersection of the data ranges, like
+        # MocoTool::updateTimeInfo called per reference (MocoTrack.cpp:223,
+        # :262)
+        t0s, tfs = [], []
+        if times is not None:
+            t0s.append(times[0])
+            tfs.append(times[-1])
+        if marker_cfg is not None:
+            mtimes = [t for (t, _) in marker_cfg[1].values()]
+            t0s.append(max(t[0] for t in mtimes))
+            tfs.append(min(t[-1] for t in mtimes))
+        t0 = self.initial_time if self.initial_time is not None \
+            else max(t0s)
+        tf = self.final_time if self.final_time is not None \
+            else min(tfs)
         model = self.model
         if not model._finalized:
             model.finalize()
 
         prob = Problem(model)
         prob.set_time_bounds(t0, tf)
-        goal = StateTrackingGoal(
-            name="state_tracking", weight=self.states_global_weight,
-            reference={n: (times, v) for n, v in data.items()},
-            state_weights=dict(self.states_weights),
-            scale_by_range=self.scale_state_weights_with_range)
-        prob.add_goal(goal)
+        if times is not None:
+            goal = StateTrackingGoal(
+                name="state_tracking", weight=self.states_global_weight,
+                reference={n: (times, v) for n, v in data.items()},
+                state_weights=dict(self.states_weights),
+                scale_by_range=self.scale_state_weights_with_range)
+            prob.add_goal(goal)
+        if marker_cfg is not None:
+            from ..ocp.goals import MarkerTrackingGoal
+            markers, reference, weights = marker_cfg
+            prob.add_goal(MarkerTrackingGoal(
+                name="marker_tracking", weight=self.markers_global_weight,
+                markers=markers, reference=reference,
+                marker_weights=weights))
         if self.control_effort_weight:
             prob.add_goal(ControlGoal(name="control_effort",
                                       weight=self.control_effort_weight))

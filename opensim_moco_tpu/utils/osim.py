@@ -275,6 +275,29 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
         joint_iter = []
     else:
         joint_iter = jointset.find("objects")
+    # JointSet order is arbitrary in OpenSim (the file can list a child
+    # joint before the joint that creates its parent body, e.g.
+    # subject_walk_armless.osim lists mtp_l before subtalar_l); sort
+    # topologically from ground like Model::finalizeConnections
+    if joint_iter is not None and len(list(joint_iter)):
+        def _pc(j):
+            fr = _parse_frames(j)
+            p = _body_of_socket(fr[_find_text(j, "socket_parent_frame")][0])
+            c = _body_of_socket(fr[_find_text(j, "socket_child_frame")][0])
+            return p, c
+        pending = [(j,) + _pc(j) for j in joint_iter]
+        known = {"ground"}
+        ordered = []
+        while pending:
+            ready = [e for e in pending if e[1] in known]
+            if not ready:
+                # disconnected subtree (or loop joint): keep file order
+                ready = [pending[0]]
+            for e in ready:
+                ordered.append(e[0])
+                known.add(e[2])
+                pending.remove(e)
+        joint_iter = ordered
     for j in joint_iter:
         jtag = j.tag
         jname = j.get("name")
@@ -355,6 +378,20 @@ def parse_osim(path, gravity=None, weld_joints=(), weld_q=None):
 
     def coord_index(cname):
         return mech.coord_names.index(cname)
+
+    # ---- markers (MarkerSet): body-fixed stations consumed by the
+    # marker-tracking path (reference MocoTrack.cpp:235-270 reads the
+    # model's MarkerSet to pair with TRC marker trajectories)
+    ms_el = model_el.find("MarkerSet")
+    if ms_el is not None and ms_el.find("objects") is not None:
+        for mk in ms_el.find("objects").findall("Marker"):
+            frame = _find_text(mk, "socket_parent_frame") or \
+                _find_text(mk, "body", "")
+            bname = _body_of_socket(frame)
+            if bname in body_idx:
+                model.markers[mk.get("name")] = (
+                    body_idx[bname],
+                    tuple(_vec(_find_text(mk, "location", "0 0 0"))))
 
     # ---- forces
     forceset = model_el.find("ForceSet")

@@ -208,3 +208,57 @@ def sto_to_trajectory(path):
         objective=float(meta.get("objective", "nan")),
         status=meta.get("status", ""),
     )
+
+
+class TrcTable:
+    """Marker-trajectory table read from a .trc motion-capture file
+    (the format consumed by the reference's MocoTrack marker path,
+    MocoTrack.cpp:235-270 via TRCFileAdapter). Positions are stored in
+    meters regardless of the file's Units header."""
+
+    def __init__(self, time, marker_names, positions, metadata=None):
+        self.time = np.asarray(time, dtype=np.float64)
+        self.marker_names = list(marker_names)
+        # (K, M, 3), meters; missing samples are NaN
+        self.positions = np.asarray(positions, dtype=np.float64)
+        self.metadata = dict(metadata or {})
+
+    def marker(self, name):
+        return self.positions[:, self.marker_names.index(name)]
+
+
+def read_trc(path) -> TrcTable:
+    """Parse a TRC marker file (reference TRCFileAdapter format: 3 header
+    lines, a marker-name row, an X1/Y1/Z1 component row, then frames of
+    ``Frame# Time x y z ...``). Units are converted to meters (``mm`` is
+    the common capture convention, as in
+    Moco/Examples/C++/example3DWalking/marker_trajectories.trc)."""
+    with open(path) as f:
+        lines = [ln.rstrip("\r\n") for ln in f]
+    if len(lines) < 6:
+        raise ValueError(f"{path}: truncated TRC file")
+    # writers pad the value row with extra tabs; align non-empty cells
+    hdr_keys = [c.strip() for c in lines[1].split("\t") if c.strip()]
+    hdr_vals = [c.strip() for c in lines[2].split("\t") if c.strip()]
+    meta = dict(zip(hdr_keys, hdr_vals))
+    units = meta.get("Units", "m").lower()
+    scale = {"mm": 1e-3, "cm": 1e-2, "m": 1.0}.get(units, 1.0)
+    name_row = lines[3].split("\t")
+    # marker names sit every 3 columns starting after Frame#, Time
+    names = [c.strip() for c in name_row[2:] if c.strip()]
+    rows = []
+    for ln in lines[5:]:
+        if not ln.strip():
+            continue
+        cells = ln.split("\t")
+        vals = [float(c) if c.strip() else np.nan for c in cells[1:]]
+        rows.append(vals)
+    M = len(names)
+    K = len(rows)
+    time = np.array([r[0] for r in rows])
+    pos = np.full((K, M, 3), np.nan)
+    for k, r in enumerate(rows):
+        dat = r[1:1 + 3 * M]
+        dat = dat + [np.nan] * (3 * M - len(dat))
+        pos[k] = np.asarray(dat).reshape(M, 3)
+    return TrcTable(time, names, pos * scale, meta)
