@@ -42,16 +42,20 @@ PARTIAL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_PARTIAL.json")
 
 
-def _timed_batch(batched, Z0):
+def _timed_batch(batched, Z0, tol):
     res = batched(Z0)
     res.z.block_until_ready()
     t0 = time.perf_counter()
     res = batched(Z0)
     res.z.block_until_ready()
     dt = time.perf_counter() - t0
-    conv, mit = jax.device_get((jnp.sum(res.converged),
-                                jnp.mean(res.iterations.astype(jnp.float32))))
-    return dt, int(conv), float(mit)
+    conv, strict, mit = jax.device_get(
+        (jnp.sum(res.converged),
+         # strict-tolerance exits vs acceptable-level exits (IPOPT's
+         # "Solved To Acceptable Level"), reported separately per VERDICT r4
+         jnp.sum(res.converged & (res.kkt_error <= tol)),
+         jnp.mean(res.iterations.astype(jnp.float32))))
+    return dt, int(conv), int(strict), float(mit)
 
 
 def lane_hanging(full_dynamics):
@@ -75,8 +79,9 @@ def lane_hanging(full_dynamics):
     batched = jax.jit(jax.vmap(solve))
     B = 32
     Z0 = batch_guesses(tr, B, scale=0.05, seed=0).astype(jnp.float32)
-    dt, conv, mit = _timed_batch(batched, Z0)
-    return {"batch": B, "converged": conv, "mean_iterations": mit,
+    dt, conv, strict, mit = _timed_batch(batched, Z0, opts.tol)
+    return {"batch": B, "converged": conv, "strict": strict,
+            "mean_iterations": mit,
             "wall_s_per_batch": round(dt, 3),
             "solves_per_s": round(B / dt, 3),
             "converged_solves_per_s": round(conv / dt, 3)}
@@ -99,8 +104,9 @@ def lane_gait2d():
     Z0 = np.stack([z0] + [z0 + 0.005 * rng.standard_normal(
         z0.shape).astype(np.float32) for _ in range(B - 1)])
     batched = jax.jit(jax.vmap(solve))
-    dt, conv, mit = _timed_batch(batched, jnp.asarray(Z0))
-    return {"batch": B, "converged": conv, "mean_iterations": mit,
+    dt, conv, strict, mit = _timed_batch(batched, jnp.asarray(Z0), opts.tol)
+    return {"batch": B, "converged": conv, "strict": strict,
+            "mean_iterations": mit,
             "wall_s_per_batch": round(dt, 3),
             "solves_per_s": round(B / dt, 4),
             "converged_solves_per_s": round(conv / dt, 4)}
@@ -133,9 +139,15 @@ def main():
         "value": g["solves_per_s"],
         "unit": "solves/s/chip",
         "vs_baseline": round(g["solves_per_s"] / baseline_gait, 1),
+        # the reference could not be built in this image (empty
+        # opensim-core submodule, no network); 300 s/solve is an estimate,
+        # NOT a measurement — see module docstring
+        "baseline": "estimated (300 s/solve reference, not measured)",
         "gait2d_converged": f"{g['converged']}/{g['batch']}",
+        "gait2d_strict": f"{g['strict']}/{g['batch']}",
         "hanging_full_solves_per_s": hf["solves_per_s"],
         "hanging_full_converged": f"{hf['converged']}/{hf['batch']}",
+        "hanging_full_strict": f"{hf['strict']}/{hf['batch']}",
         "hanging_simplified_solves_per_s": hs["solves_per_s"],
         "hanging_simplified_converged": f"{hs['converged']}/{hs['batch']}",
         "device": dev,
