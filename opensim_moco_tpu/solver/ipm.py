@@ -101,6 +101,14 @@ class IPMOptions:
     #   inertia-free regularization loop already treats as "escalate
     #   delta" — the same effect as IPOPT's inertia correction.
     dense_factorization: str = "lu"
+    # equality-multiplier initialization. "least-squares" solves
+    # [[I, J^T],[J, -dc I]][r; nu0] = [-(grad f - wL0 + wU0); 0] at the
+    # start point (IPOPT's least_square_init_multipliers) and keeps nu0
+    # when ||nu0||_inf <= 1e3. Essential for warm starts: with z near the
+    # optimum but nu = 0 the scaled dual error starts huge (measured ~140
+    # on the gait2d tracked-states start) and the line search closes it at
+    # tiny steps over hundreds of iterations. "zero" starts nu at 0.
+    init_multipliers: str = "least-squares"
     # iterative refinement passes on every KKT solve: recompute the KKT
     # residual in operator form (H matvec + constraint jvp/vjp) and solve
     # for a correction with the SAME factorization. Recovers most of the
@@ -139,6 +147,7 @@ class Carry(NamedTuple):
     best_kkt: jnp.ndarray
     acceptable_count: jnp.ndarray
     rescue_count: jnp.ndarray
+    stall_count: jnp.ndarray  # consecutive fully-rejected iterations
 
 
 def _inf_norm(x):
@@ -146,7 +155,7 @@ def _inf_norm(x):
 
 
 def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
-                scale_z0=None):
+                scale_z0=None, grid_mesh=None, grid_axis="grid"):
     """Build (init_fn, body_fn, cond_fn, finalize_fn) for the IP iteration.
 
     Exposed separately from :func:`make_solver` for observability: a driver
@@ -157,6 +166,14 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
     scaling (nlp_scaling_method=gradient-based): objective and each
     constraint row are scaled so their gradient inf-norm at this point is
     at most 100. Essential for multibody problems mixing N, m, s units.
+
+    ``grid_mesh``/``grid_axis``: a `jax.sharding.Mesh` to shard the KKT
+    factorization of ONE large problem over its mesh-interval axis
+    (SURVEY §2.8; sparsity anchor CasOCTranscription.h:219-387). Every
+    KKT solve runs the parallel-in-time partition/SPIKE kernel
+    (kkt.bordered_block_tridiag_solve_partitioned) under `shard_map`,
+    with the border Schur complement reduced by `psum` across devices.
+    Requires a structured NLP (a transcription KKTStructure).
     """
     opt = options
     if opt.kkt not in ("auto", "dense", "structured"):
@@ -270,6 +287,8 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
     use_btb = cs is not None and (
         opt.kkt == "structured" or
         (opt.kkt == "auto" and (n + m) >= opt.kkt_structured_min_dim))
+    if grid_mesh is not None and cs is None:
+        raise ValueError("grid_mesh requires a structured NLP (KKTStructure)")
 
     lb = np.asarray(nlp.lb, dtype=np.float64)
     ub = np.asarray(nlp.ub, dtype=np.float64)
@@ -336,17 +355,54 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         wU = jnp.where(has_u, mu0 / du, 0.0)
         theta_scale = jnp.maximum(1.0, _theta(z))
         ftheta, fphi, fcount = _fresh_filter(theta_scale, dtype)
-        return Carry(z=z, nu=jnp.zeros((m,), dtype), wL=wL, wU=wU, mu=mu0,
+        nu0 = jnp.zeros((m,), dtype)
+        if m and opt.init_multipliers == "least-squares":
+            g0 = grad_f(z)
+            r1 = -(g0 - jnp.where(has_l, wL, 0.0) +
+                   jnp.where(has_u, wU, 0.0))
+            if cs is not None:
+                from .structured import (assemble_kkt_blocks, btb_factor,
+                                         btb_solve, pack_rhs, unpack_sol)
+                jb0 = bd.jac_blocks(z)
+                eye_v = jnp.eye(cs.nv, dtype=dtype)
+                mv0 = jnp.asarray(cs.Vm).astype(dtype)
+                kv0 = len(cs.bv)
+                hb0 = dict(
+                    Hvv=eye_v[None] * (mv0[:, :, None] * mv0[:, None, :]),
+                    Hv1v0=jnp.zeros((cs.N - 1, cs.nv, cs.nv), dtype),
+                    Hvb=jnp.zeros((cs.N, cs.nv, kv0), dtype),
+                    Hbb=jnp.eye(kv0, dtype=dtype))
+                D0, L0, B0, C0 = assemble_kkt_blocks(
+                    hb0, jb0, jnp.zeros((n,), dtype),
+                    jnp.zeros((), dtype), 1e-8, cs)
+                fac0 = btb_factor(D0, L0, B0, C0)
+                rhs_T0, rhs_C0 = pack_rhs(r1, jnp.zeros((m,), dtype),
+                                          None, cs)
+                x0s, wb0 = btb_solve(fac0, rhs_T0, rhs_C0)
+                _, nu0 = unpack_sol(x0s, wb0, cs, dtype)
+            else:
+                J0 = jac_c(z)
+                K0 = jnp.block([[jnp.eye(n, dtype=dtype), J0.T],
+                                [J0, -1e-8 * jnp.eye(m, dtype=dtype)]])
+                sol0 = jnp.linalg.solve(K0, jnp.concatenate(
+                    [r1, jnp.zeros((m,), dtype)]))
+                nu0 = sol0[n:]
+            # degenerate-Jacobian guard (IPOPT: discard a huge LS dual)
+            nu0 = jnp.where(jnp.isfinite(nu0), nu0, 0.0)
+            nu0 = jnp.where(_inf_norm(nu0) <= 1e3, nu0,
+                            jnp.zeros_like(nu0))
+        return Carry(z=z, nu=nu0, wL=wL, wU=wU, mu=mu0,
                      it=jnp.zeros((), jnp.int32), converged=jnp.array(False),
                      kkt=jnp.asarray(jnp.inf, dtype),
                      alpha_last=jnp.ones((), dtype),
                      delta_last=jnp.zeros((), dtype),
                      filter_theta=ftheta, filter_phi=fphi,
                      filter_count=fcount, theta_scale=theta_scale,
-                     best_z=z, best_nu=jnp.zeros((m,), dtype),
+                     best_z=z, best_nu=nu0,
                      best_kkt=jnp.asarray(jnp.inf, dtype),
                      acceptable_count=jnp.zeros((), jnp.int32),
-                     rescue_count=jnp.zeros((), jnp.int32))
+                     rescue_count=jnp.zeros((), jnp.int32),
+                     stall_count=jnp.zeros((), jnp.int32))
 
     def body_fn(carry: Carry) -> Carry:
         z, nu, wL, wU, mu = carry.z, carry.nu, carry.wL, carry.wU, carry.mu
@@ -376,7 +432,7 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
             _, c_vjp = jax.vjp(c_fn, z)
             Jt_nu = c_vjp(nu)[0]
             h_diag = block_H_diag(hb, cs, dtype)
-            if not use_btb:
+            if not use_btb and grid_mesh is None:
                 J = dense_J_from_blocks(jb, cs)
                 W = dense_H_from_blocks(hb, cs)
         else:
@@ -392,14 +448,17 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         sc = jnp.maximum(smax, (jnp.sum(jnp.abs(wL)) + jnp.sum(jnp.abs(wU))) /
                          jnp.maximum(1, 2 * n)) / smax
 
-        def err(mu_val):
+        def err_parts(mu_val):
             compL = jnp.where(has_l, dl * wL - mu_val, 0.0)
             compU = jnp.where(has_u, du * wU - mu_val, 0.0)
-            return jnp.maximum(
-                _inf_norm(rd) / sd,
-                jnp.maximum(_inf_norm(cz),
-                            jnp.maximum(_inf_norm(compL),
-                                        _inf_norm(compU)) / sc))
+            dual = _inf_norm(rd) / sd
+            primal = _inf_norm(cz)
+            comp = jnp.maximum(_inf_norm(compL), _inf_norm(compU)) / sc
+            return dual, primal, comp
+
+        def err(mu_val):
+            dual, primal, comp = err_parts(mu_val)
+            return jnp.maximum(dual, jnp.maximum(primal, comp))
 
         e0 = err(jnp.zeros((), dtype))
         # best-iterate + acceptable-level bookkeeping
@@ -438,7 +497,65 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         # factor once per regularization trial; the factorization (a pytree)
         # rides the carry so the Newton step, the second-order correction,
         # and the feasibility fallback share it as cheap extra solves
-        if use_btb:
+        if grid_mesh is not None:
+            # parallel-in-time KKT: assemble blocks, shard the mesh-interval
+            # axis over the device mesh, solve with the partition/SPIKE
+            # kernel. No factorization is cached across the Newton/SOC/
+            # feasibility solves (each re-condenses its local chunk) — the
+            # price of time-axis parallelism; the reduced boundary system
+            # and border Schur ride collectives (psum/all_gather on ICI).
+            from functools import partial
+
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as PS
+
+            from .kkt import bordered_block_tridiag_solve_partitioned
+
+            n_dev = grid_mesh.shape[grid_axis]
+            pad = (-cs.N) % n_dev  # static: identity blocks appended so
+            pspec = PS(grid_axis)  # the shard axis divides evenly
+            rspec = PS()
+
+            def kkt_factor(delta_w):
+                delta_c = 1e-8 * wscale
+                D, L, Bb, Cb = assemble_kkt_blocks(hb, jb, Sig, delta_w,
+                                                   delta_c, cs)
+                N, nb, _ = D.shape
+                kb = 0 if Bb is None else Bb.shape[-1]
+                if Bb is None:
+                    Bb = jnp.zeros((N, nb, 0), dtype)
+                    Cb = jnp.zeros((0, 0), dtype)
+                if pad:
+                    eye = jnp.broadcast_to(jnp.eye(nb, dtype=dtype),
+                                           (pad, nb, nb))
+                    D = jnp.concatenate([D, eye])
+                    Bb = jnp.concatenate(
+                        [Bb, jnp.zeros((pad, nb, kb), dtype)])
+                # L rows: (N-1) couplings -> (N+pad,) with zero tail
+                Lp = jnp.concatenate(
+                    [L, jnp.zeros((pad + 1, nb, nb), dtype)])
+                return (D, Lp, Bb, Cb)
+
+            def kkt_solve(fac, r1, r2):
+                D, Lp, Bb, Cb = fac
+                rhs_T, rhs_C = pack_rhs(r1, r2, None, cs)
+                if pad:
+                    rhs_T = jnp.concatenate(
+                        [rhs_T, jnp.zeros((pad, rhs_T.shape[1]), dtype)])
+                fn = shard_map(
+                    partial(bordered_block_tridiag_solve_partitioned,
+                            axis_name=grid_axis),
+                    mesh=grid_mesh,
+                    in_specs=(pspec, pspec, pspec, rspec, pspec, rspec),
+                    out_specs=(pspec, rspec))
+                x, wb = fn(D, Lp, Bb, Cb, rhs_T, rhs_C)
+                if pad:
+                    x = x[:cs.N]
+                return unpack_sol(x, wb, cs, dtype)
+
+            def H_mv(v):
+                return block_H_matvec(hb, cs, v) + Sig * v
+        elif use_btb:
             def kkt_factor(delta_w):
                 delta_c = 1e-8 * wscale
                 D, L, Bb, Cb = assemble_kkt_blocks(hb, jb, Sig, delta_w,
@@ -552,7 +669,9 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
 
         def reg_body(state):
             delta, _, _, _, tries, _ = state
-            new_delta = jnp.maximum(opt.delta_w_init * wscale, delta * 100.0)
+            new_delta = jnp.minimum(
+                jnp.asarray(opt.delta_w_max, dtype),
+                jnp.maximum(opt.delta_w_init * wscale, delta * 100.0))
             out = try_delta(new_delta, tries + 1)
             return out
 
@@ -729,6 +848,18 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
                      jnp.all(jnp.isfinite(nu_new)) &
                      jnp.all(jnp.isfinite(wL_new)) &
                      jnp.all(jnp.isfinite(wU_new)))
+        # stall escape: K consecutive iterations where the filter rejected
+        # every trial AND the feasibility fallback failed means the solver
+        # is wedged (typically after regularization ran away); restart from
+        # the best iterate like the non-finite path instead of burning the
+        # remaining budget on zero steps (IPOPT aborts with "restoration
+        # failed" here; we recover)
+        stalled = ~any_acc
+        stall_count = jnp.where(stalled, carry.stall_count + 1,
+                                jnp.zeros((), jnp.int32))
+        stall_reset = stall_count >= 8
+        finite_ok = finite_ok & (~stall_reset)
+        stall_count = jnp.where(stall_reset, 0, stall_count)
         have_best = jnp.isfinite(carry.best_kkt)
         z_rec = jnp.where(have_best, carry.best_z, z)
         z_new = jnp.where(finite_ok, z_new, z_rec)
@@ -755,7 +886,10 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         # rescue budget (max_rescues) stops hard lanes from cycling between
         # pump-up and decrease forever.
         near_solution = e0 <= acc_tol
-        allow_rescue = carry.rescue_count < opt.max_rescues
+        dual0, primal0, comp0 = err_parts(jnp.zeros((), dtype))
+        dual_dominates = dual0 > 10.0 * jnp.maximum(primal0, comp0)
+        allow_rescue = (carry.rescue_count < opt.max_rescues) & \
+            (~dual_dominates)
         mu_rescued = jnp.where((any_acc | near_solution | ~allow_rescue) &
                                finite_ok, mu_new,
                                jnp.minimum(jnp.asarray(opt.mu_init, dtype),
@@ -785,15 +919,20 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
             # next iteration's starting regularization; good steps let the
             # /3 warm start decay it back toward zero
             delta_last=jnp.where(
-                any_acc, delta,
-                jnp.maximum(delta * 10.0, opt.delta_w_init * wscale)),
+                ~finite_ok, jnp.zeros((), dtype),
+                jnp.where(any_acc, delta,
+                          jnp.minimum(jnp.asarray(opt.delta_w_max, dtype),
+                                      jnp.maximum(delta * 10.0,
+                                                  opt.delta_w_init *
+                                                  wscale)))),
             filter_theta=jnp.where(keep, carry.filter_theta, ftheta_new),
             filter_phi=jnp.where(keep, carry.filter_phi, fphi_new),
             filter_count=jnp.where(keep, carry.filter_count, fcount_new),
             theta_scale=carry.theta_scale,
             best_z=best_z, best_nu=best_nu, best_kkt=best_kkt,
             acceptable_count=acceptable_count,
-            rescue_count=jnp.where(keep, carry.rescue_count, rescue_count))
+            rescue_count=jnp.where(keep, carry.rescue_count, rescue_count),
+            stall_count=jnp.where(keep, carry.stall_count, stall_count))
 
     def cond_fn(carry: Carry):
         return (~carry.converged) & (carry.it < opt.max_iter)
@@ -810,7 +949,40 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
                          kkt_error=kkt_out, iterations=carry.it,
                          converged=carry.converged)
 
-    return init_fn, body_fn, cond_fn, finalize_fn
+    def debug_fn(carry: Carry):
+        """Error decomposition at the carry (iteration-log tooling, the
+        analogue of IPOPT's inf_pr/inf_du/lg(mu)/alpha columns)."""
+        z, nu, wL, wU = carry.z, carry.nu, carry.wL, carry.wU
+        dtype = z.dtype
+        has_l = jnp.asarray(has_l_np)
+        has_u = jnp.asarray(has_u_np)
+        g = grad_f(z)
+        cz = c_fn(z)
+        _, c_vjp = jax.vjp(c_fn, z)
+        Jt_nu = c_vjp(nu)[0] if m else jnp.zeros_like(z)
+        dl, du = _dl_du(z, dtype)
+        rd = g + Jt_nu - jnp.where(has_l, wL, 0.0) + jnp.where(has_u, wU,
+                                                               0.0)
+        smax = 100.0
+        ssum = jnp.sum(jnp.abs(nu)) + jnp.sum(jnp.abs(wL)) + \
+            jnp.sum(jnp.abs(wU))
+        sd = jnp.maximum(smax, ssum / (m + 2 * n)) / smax
+        sc = jnp.maximum(smax, (jnp.sum(jnp.abs(wL)) +
+                                jnp.sum(jnp.abs(wU))) /
+                         jnp.maximum(1, 2 * n)) / smax
+        compL = jnp.where(has_l, dl * wL, 0.0)
+        compU = jnp.where(has_u, du * wU, 0.0)
+        return {"dual": _inf_norm(rd) / sd, "primal": _inf_norm(cz),
+                "comp": jnp.maximum(_inf_norm(compL),
+                                    _inf_norm(compU)) / sc,
+                "dual_raw": _inf_norm(rd), "sd": sd, "sc": sc,
+                "nu_inf": _inf_norm(nu), "wL_inf": _inf_norm(wL),
+                "wU_inf": _inf_norm(wU),
+                "rd_argmax": jnp.argmax(jnp.abs(rd)),
+                "min_dl": jnp.min(jnp.where(has_l, dl, jnp.inf)),
+                "min_du": jnp.min(jnp.where(has_u, du, jnp.inf))}
+
+    return init_fn, body_fn, cond_fn, finalize_fn, debug_fn
 
 
 def make_chunked_solver(nlp: NLP, options: IPMOptions = IPMOptions(),
@@ -824,8 +996,8 @@ def make_chunked_solver(nlp: NLP, options: IPMOptions = IPMOptions(),
     (MocoCasADiSolver.h:138) and FileDeletionThrower abort hook
     (MocoUtilities.h:717-756) — without host callbacks inside the XLA
     program."""
-    init_fn, body_fn, cond_fn, finalize_fn = make_kernel(nlp, options,
-                                                         scale_z0=scale_z0)
+    init_fn, body_fn, cond_fn, finalize_fn, _ = make_kernel(
+        nlp, options, scale_z0=scale_z0)
 
     @jax.jit
     def run_chunk(carry, iter_limit):
@@ -840,15 +1012,17 @@ def make_chunked_solver(nlp: NLP, options: IPMOptions = IPMOptions(),
 
 
 def make_solver(nlp: NLP, options: IPMOptions = IPMOptions(),
-                scale_z0=None) -> Callable:
+                scale_z0=None, grid_mesh=None, grid_axis="grid") -> Callable:
     """Build a pure solve function ``z0 -> IPMResult`` for a fixed NLP.
 
     The returned function contains no Python-level control flow, so it can
     be jitted, vmapped (batch of initial guesses / parameterized problems
-    via closure), and pjit-sharded.
+    via closure), and pjit-sharded. ``grid_mesh``: shard the KKT solves of
+    one large problem over the mesh-interval axis (see make_kernel).
     """
-    init_fn, body_fn, cond_fn, finalize_fn = make_kernel(nlp, options,
-                                                         scale_z0=scale_z0)
+    init_fn, body_fn, cond_fn, finalize_fn, _ = make_kernel(
+        nlp, options, scale_z0=scale_z0, grid_mesh=grid_mesh,
+        grid_axis=grid_axis)
 
     def solve(z0_full):
         # TPU f32 matmuls default to bf16-compensated passes, which poison

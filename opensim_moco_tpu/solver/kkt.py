@@ -89,9 +89,13 @@ def block_tridiag_solve_partitioned(D, L, rhs, axis_name):
     local row i to row i+1 (the last row of the last shard is ignored);
     rhs (Nl, nb). Returns the local (Nl, nb) solution shard.
     """
+    single = rhs.ndim == 2
+    if single:
+        rhs = rhs[..., None]
     idx = jax.lax.axis_index(axis_name)
     P_ = jax.lax.psum(1, axis_name)
     Nl, nb, _ = D.shape
+    nrhs = rhs.shape[-1]
     dtype = D.dtype
 
     # neighbor coupling blocks: L_left = last L of the previous shard
@@ -103,27 +107,27 @@ def block_tridiag_solve_partitioned(D, L, rhs, axis_name):
     L_right = jnp.where(is_last, jnp.zeros_like(L[-1]), L[-1])
 
     # local condensation: T_loc [G U V] = [rhs, E_f L_left, E_l L_right^T]
-    RHS = jnp.zeros((Nl, nb, 1 + 2 * nb), dtype=dtype)
-    RHS = RHS.at[:, :, 0].set(rhs)
-    RHS = RHS.at[0, :, 1:1 + nb].set(L_left)
-    RHS = RHS.at[Nl - 1, :, 1 + nb:].set(L_right.T)
+    RHS = jnp.zeros((Nl, nb, nrhs + 2 * nb), dtype=dtype)
+    RHS = RHS.at[:, :, :nrhs].set(rhs)
+    RHS = RHS.at[0, :, nrhs:nrhs + nb].set(L_left)
+    RHS = RHS.at[Nl - 1, :, nrhs + nb:].set(L_right.T)
     sol = block_tridiag_solve(D, L[:-1], RHS)
-    G = sol[..., 0]              # (Nl, nb)
-    U = sol[..., 1:1 + nb]       # (Nl, nb, nb): coefficient of x_left
-    V = sol[..., 1 + nb:]        # (Nl, nb, nb): coefficient of x_right
+    G = sol[..., :nrhs]               # (Nl, nb, nrhs)
+    U = sol[..., nrhs:nrhs + nb]      # (Nl, nb, nb): coefficient of x_left
+    V = sol[..., nrhs + nb:]          # (Nl, nb, nb): coefficient of x_right
 
     # reduced system over boundary unknowns y = [x_first^p, x_last^p]_p:
     # x_first^p = G_f - U_f x_last^{p-1} - V_f x_first^{p+1}
     # x_last^p  = G_l - U_l x_last^{p-1} - V_l x_first^{p+1}
-    bnd = jnp.stack([G[0], G[-1]])                    # (2, nb)
+    bnd = jnp.stack([G[0], G[-1]])                    # (2, nb, nrhs)
     Us = jnp.stack([U[0], U[-1]])                     # (2, nb, nb)
     Vs = jnp.stack([V[0], V[-1]])
-    bnd_all = jax.lax.all_gather(bnd, axis_name)      # (P, 2, nb)
+    bnd_all = jax.lax.all_gather(bnd, axis_name)      # (P, 2, nb, nrhs)
     U_all = jax.lax.all_gather(Us, axis_name)         # (P, 2, nb, nb)
     V_all = jax.lax.all_gather(Vs, axis_name)
     m = 2 * P_ * nb
     A = jnp.eye(m, dtype=dtype)
-    r = bnd_all.reshape(m)
+    r = bnd_all.reshape(m, nrhs)
 
     def row(p, which):  # index of boundary unknown block
         return (2 * p + which) * nb
@@ -140,14 +144,45 @@ def block_tridiag_solve_partitioned(D, L, rhs, axis_name):
                 A = jax.lax.dynamic_update_slice(
                     A, V_all[p, which], (i0, j0))
     y = jnp.linalg.solve(A, r)                        # replicated small solve
-    y = y.reshape(P_, 2, nb)
-    x_left = jnp.where(is_first, jnp.zeros(nb, dtype),
+    y = y.reshape(P_, 2, nb, nrhs)
+    x_left = jnp.where(is_first, jnp.zeros((nb, nrhs), dtype),
                        y[jnp.maximum(idx - 1, 0), 1])
-    x_right = jnp.where(is_last, jnp.zeros(nb, dtype),
+    x_right = jnp.where(is_last, jnp.zeros((nb, nrhs), dtype),
                         y[jnp.minimum(idx + 1, P_ - 1), 0])
-    x = G - jnp.einsum("nij,j->ni", U, x_left) - \
-        jnp.einsum("nij,j->ni", V, x_right)
-    return x
+    x = G - jnp.einsum("nij,jm->nim", U, x_left) - \
+        jnp.einsum("nij,jm->nim", V, x_right)
+    return x[..., 0] if single else x
+
+
+def bordered_block_tridiag_solve_partitioned(D, L, B, C, rhs_T, rhs_C,
+                                             axis_name):
+    """Parallel-in-time bordered solve for use inside shard_map: the
+    [[T, B], [B^T, C]] system of :func:`bordered_block_tridiag_solve`
+    with the block-tridiagonal T partitioned over ``axis_name``.
+
+    Per-device shards: D (Nl, nb, nb); L (Nl, nb, nb) with L[i] coupling
+    local row i to i+1 (last row of the last shard ignored); B (Nl, nb, k);
+    rhs_T (Nl, nb). Replicated: C (k, k), rhs_C (k,). Returns the local
+    solution shard x (Nl, nb) and the replicated border solution w (k,).
+
+    The border Schur complement S = C - B^T T^{-1} B is reduced with a
+    psum over device shards — the ICI collective that replaces the
+    sequential full-grid scan of the replicated path (SURVEY §2.8).
+    """
+    k = B.shape[-1]
+    if k == 0:
+        x = block_tridiag_solve_partitioned(D, L, rhs_T, axis_name)
+        return x, jnp.zeros((0,), D.dtype)
+    RHS = jnp.concatenate([rhs_T[..., None], B], axis=-1)  # (Nl, nb, 1+k)
+    sol = block_tridiag_solve_partitioned(D, L, RHS, axis_name)
+    Tinv_r = sol[..., 0]
+    Tinv_B = sol[..., 1:]
+    BtTinvB = jax.lax.psum(jnp.einsum("nik,nij->kj", B, Tinv_B), axis_name)
+    BtTinvr = jax.lax.psum(jnp.einsum("nik,ni->k", B, Tinv_r), axis_name)
+    S = C - BtTinvB
+    w = jnp.linalg.solve(S, rhs_C - BtTinvr)
+    x = Tinv_r - jnp.einsum("nik,k->ni", Tinv_B, w)
+    return x, w
 
 
 def bordered_block_tridiag_solve(D, L, B, C, rhs_T, rhs_C):

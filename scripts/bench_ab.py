@@ -39,7 +39,7 @@ def run_variant(name, overrides):
     opts = IPMOptions(tol=3e-3, max_iter=150, bound_relax=1e-6,
                       mu_init=1e-1, acceptable_tol_factor=30.0,
                       acceptable_iter=10, **overrides)
-    init_fn, body_fn, cond_fn, finalize_fn = make_kernel(nlp, opts,
+    init_fn, body_fn, cond_fn, finalize_fn, _dbg = make_kernel(nlp, opts,
                                                          scale_z0=z0)
     Z0 = batch_guesses(tr, B, scale=0.05, seed=0).astype(jnp.float32)
 

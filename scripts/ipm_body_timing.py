@@ -28,7 +28,7 @@ def run(tag, **kw):
     opts = IPMOptions(tol=3e-3, max_iter=150, bound_relax=1e-6,
                       mu_init=1e-1, acceptable_tol_factor=30.0,
                       acceptable_iter=10, **kw)
-    init_fn, body_fn, cond_fn, fin = make_kernel(nlp, opts, scale_z0=z0)
+    init_fn, body_fn, cond_fn, fin, _dbg = make_kernel(nlp, opts, scale_z0=z0)
 
     @jax.jit
     def chain(Z):

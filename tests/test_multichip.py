@@ -106,3 +106,86 @@ def test_batched_solve_device_count_agreement():
     np.testing.assert_allclose(np.asarray(res8.z), np.asarray(res1.z),
                                rtol=1e-7, atol=1e-9)
     assert bool(jnp.all(res8.converged == res1.converged))
+
+
+def test_bordered_partitioned_solve_matches_sequential():
+    """Partitioned bordered solve (T sharded over 8 devices, border Schur
+    psum-reduced) == sequential bordered solve."""
+    from jax import shard_map
+
+    from opensim_moco_tpu.solver.kkt import (
+        bordered_block_tridiag_solve, bordered_block_tridiag_solve_partitioned)
+
+    N, nb, k, Pn = 24, 4, 3, 8
+    rng = np.random.default_rng(3)
+    D, L, rhs = _random_btd(N, nb, seed=3)
+    B = jnp.asarray(0.2 * rng.normal(size=(N, nb, k)))
+    C = jnp.asarray(-np.eye(k) - 0.1 * rng.normal(size=(k, k)))
+    rhs_C = jnp.asarray(rng.normal(size=(k,)))
+    x_seq, w_seq = bordered_block_tridiag_solve(D, L, B, C, rhs, rhs_C)
+
+    mesh = Mesh(np.array(jax.devices()[:Pn]), ("grid",))
+    L_pad = jnp.concatenate([L, jnp.zeros((1, nb, nb))], axis=0)
+    f = shard_map(
+        lambda d, l, b, c, rT, rC: bordered_block_tridiag_solve_partitioned(
+            d, l, b, c, rT, rC, "grid"),
+        mesh=mesh,
+        in_specs=(P("grid"), P("grid"), P("grid"), P(), P("grid"), P()),
+        out_specs=(P("grid"), P()))
+    x_par, w_par = jax.jit(f)(D, L_pad, B, C, rhs, rhs_C)
+    np.testing.assert_allclose(np.asarray(x_par), np.asarray(x_seq),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(w_par), np.asarray(w_seq),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_grid_sharded_full_ipm_solve_agreement():
+    """End-to-end IPM solve of ONE problem with its KKT factorization
+    sharded over the mesh-interval axis of an 8-device grid mesh
+    (SURVEY §2.8) — converges and agrees with the replicated solve."""
+    from opensim_moco_tpu.examples import kirk_min_effort_study
+    from opensim_moco_tpu.solver.ipm import IPMOptions, make_solver
+
+    study = kirk_min_effort_study(num_mesh_intervals=24,
+                                  scheme="trapezoidal")
+    tr = study.transcription()
+    nlp = tr.make_nlp()
+    z0 = jnp.asarray(tr.initial_guess())
+    opts = IPMOptions(tol=1e-7, max_iter=200)
+
+    solve_rep = make_solver(nlp, opts, scale_z0=z0)
+    res_rep = jax.jit(solve_rep)(z0)
+    assert bool(res_rep.converged)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("grid",))
+    solve_grid = make_solver(nlp, opts, scale_z0=z0, grid_mesh=mesh)
+    res_grid = jax.jit(solve_grid)(z0)
+    assert bool(res_grid.converged)
+    np.testing.assert_allclose(float(res_grid.f), float(res_rep.f),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res_grid.z),
+                               np.asarray(res_rep.z), rtol=1e-5, atol=1e-7)
+
+
+def test_multihost_batch_solve_single_process_degrades():
+    """solve_batch_multihost on one process = batch sharded over the local
+    8-device mesh; agrees with the replicated vmap (the multi-host entry
+    point the driver can dry-run without a second host)."""
+    from opensim_moco_tpu.examples import kirk_min_effort_study
+    from opensim_moco_tpu.parallel import solve_batch_multihost
+    from opensim_moco_tpu.parallel.batch import batch_guesses
+    from opensim_moco_tpu.solver.ipm import IPMOptions, make_solver
+
+    study = kirk_min_effort_study(num_mesh_intervals=10)
+    tr = study.transcription()
+    nlp = tr.make_nlp()
+    z0 = tr.initial_guess()
+    opts = IPMOptions(tol=1e-6, max_iter=120)
+    solve = make_solver(nlp, opts, scale_z0=z0)
+    Z0 = batch_guesses(tr, 8, scale=0.03, seed=2)
+
+    res_rep = jax.jit(jax.vmap(solve))(Z0)
+    res_mh = solve_batch_multihost(solve, np.asarray(Z0))
+    np.testing.assert_allclose(np.asarray(res_mh.f), np.asarray(res_rep.f),
+                               rtol=1e-9)
+    assert bool(jnp.all(res_mh.converged == res_rep.converged))
