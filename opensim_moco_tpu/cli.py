@@ -56,7 +56,26 @@ def main(argv=None):
                      help="reference .sto overlaid behind the solutions")
     rep.add_argument("--title", default=None)
 
+    vis = sub.add_parser("visualize", help="stick-figure animation of a "
+                         "solution (MocoUtilities visualize analogue, "
+                         "headless)")
+    vis.add_argument("config", help="study .json the solution came from "
+                     "(provides the model)")
+    vis.add_argument("sto", help="solution .sto")
+    vis.add_argument("--out", default="visualize.gif",
+                     help=".gif for animation, .png for a filmstrip")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "visualize":
+        from .utils.studyconfig import load_study
+        from .utils.tables import sto_to_trajectory
+        from .utils.visualize import visualize
+        tool, _ = load_study(args.config)
+        traj = sto_to_trajectory(args.sto)
+        visualize(tool.model, traj, args.out)
+        print(f"wrote {args.out}")
+        return 0
 
     if args.cmd == "report":
         from .utils.report import generate_report

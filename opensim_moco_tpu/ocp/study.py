@@ -63,6 +63,14 @@ class Study:
             print(f"  {name:<28s} max |violation| = {v:.3e}")
         return rep_vals
 
+    def visualize(self, solution, out_path, **kwargs):
+        """Render the solution as a stick-figure animation (GIF) or
+        filmstrip PNG — the headless analogue of MocoStudy::visualize /
+        MocoUtilities visualize (reference MocoUtilities.h:258, which
+        opens the simbody-visualizer GUI)."""
+        from ..utils.visualize import visualize as _vis
+        return _vis(self.problem.model, solution, out_path, **kwargs)
+
     def analyze(self, solution, outputs):
         """Evaluate named output closures along a solution (reference
         MocoStudy::analyze<T>, MocoStudy.h:140 / OpenSim analyze,

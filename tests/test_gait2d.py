@@ -47,3 +47,29 @@ def test_gait2d_tracking_solves():
     hl = sol.state("/jointset/hip_l/hip_flexion_l/value")
     hr = sol.state("/jointset/hip_r/hip_flexion_r/value")
     assert abs(hl[-1] - hr[0]) < 1e-5
+
+
+@pytest.mark.slow
+def test_gait2d_tracking_full_resolution():
+    """Parity at the reference's own resolution: 2D-walking MocoTrack at
+    50 mesh intervals (example2DWalking.cpp:66 set_num_mesh_intervals(50))
+    with the reference acceptance bar states RMS < 1e-2
+    (testMocoTrack.cpp:66)."""
+    study, guess = gait2d_tracking_study(num_mesh_intervals=50,
+                                         max_iterations=1000)
+    study.set_ipm_options(tol=1e-4, max_iter=1000,
+                          hessian_approximation="objective-only")
+    sol = study.solve(guess=guess)
+    assert sol.success, sol.status
+    ref = read_sto(f"{REF_2DWALK}/referenceCoordinates.sto")
+    errs = []
+    for n in ref.column_names:
+        if n in sol.state_names:
+            r = np.interp(sol.time, ref.time, ref.column(n))
+            errs.append(np.sqrt(np.mean((sol.state(n) - r) ** 2)))
+    rms = np.sqrt(np.mean(np.square(errs)))
+    assert rms < 1e-2, rms
+    # half-cycle symmetry at full resolution
+    hl = sol.state("/jointset/hip_l/hip_flexion_l/value")
+    hr = sol.state("/jointset/hip_r/hip_flexion_r/value")
+    assert abs(hl[-1] - hr[0]) < 1e-5

@@ -67,3 +67,52 @@ def test_grf_tracking_goal_in_tracking_study():
     study0, _ = gait2d_tracking_study(num_mesh_intervals=4,
                                       grf_tracking_weight=0.0)
     assert "contact" not in [g.name for g in study0.problem.goals]
+
+
+@pytest.mark.slow
+def test_gait_prediction_solves_end_to_end():
+    """Solve the de-novo gaitPrediction problem warm-started from the
+    tracking solution, exactly like the reference
+    (example2DWalking.cpp:206-320; warm start at :314-315): converges,
+    walks at the prescribed 1.2 m/s average speed, and satisfies
+    half-cycle symmetry. Closes the fourth reference problem family
+    (README.md:8-14 'produce a prediction')."""
+    import jax.numpy as jnp
+
+    study_t, guess = gait2d_tracking_study(num_mesh_intervals=10,
+                                           max_iterations=400)
+    study_t.set_ipm_options(tol=1e-4, max_iter=400,
+                            hessian_approximation="objective-only")
+    sol_t = study_t.solve(guess=guess)
+    assert sol_t.success, sol_t.status
+
+    study_p, z0 = gait2d_prediction_study(num_mesh_intervals=10,
+                                          guess=sol_t)
+    sol = study_p.solve(guess=jnp.asarray(z0))
+    assert sol.success, sol.status
+
+    # prescribed average speed (endpoint constraint): COM displacement
+    # over duration = 1.2 m/s (example2DWalking.cpp:263-266)
+    model = study_p.problem.model
+    mech = model.mech
+    p = model.default_params()
+    nq = mech.nq
+    com0 = np.asarray(mech.mass_center(p["mech"],
+                                       jnp.asarray(sol.states[0, :nq])))
+    comf = np.asarray(mech.mass_center(p["mech"],
+                                       jnp.asarray(sol.states[-1, :nq])))
+    duration = sol.time[-1] - sol.time[0]
+    speed = (comf[0] - com0[0]) / duration
+    assert abs(speed - 1.2) < 0.02, speed
+    # free final time stayed within its window
+    assert 0.4 - 1e-9 <= duration <= 0.6 + 1e-9
+
+    # half-cycle symmetry: left/right swap between endpoints
+    hl = sol.state("/jointset/hip_l/hip_flexion_l/value")
+    hr = sol.state("/jointset/hip_r/hip_flexion_r/value")
+    assert abs(hl[-1] - hr[0]) < 1e-4
+    assert abs(hr[-1] - hl[0]) < 1e-4
+
+    # prediction found a gait without any tracking data: objective is the
+    # cubed-control effort over distance, must be finite and positive
+    assert np.isfinite(sol.objective) and sol.objective > 0

@@ -135,3 +135,25 @@ def test_quintic_resample_beats_linear():
     interior = (tq > 0.2) & (tq < 0.8)
     err_int = np.max(np.abs(qui.state("s")[interior] - np.sin(6 * tq)[interior]))
     assert err_int < err_lin / 40
+
+
+def test_visualize_filmstrip_and_gif(tmp_path):
+    """Study.visualize renders a stick-figure filmstrip PNG and an
+    animated GIF (MocoUtilities.h:258 visualize analogue, headless)."""
+    from opensim_moco_tpu.models import MechModelBuilder
+    from opensim_moco_tpu.models.model import Model
+    from opensim_moco_tpu.utils.visualize import visualize
+
+    b = MechModelBuilder(gravity=(0, -9.81, 0))
+    b.add_body("rod", mass=1.0, com=(0, -0.5, 0), kind="revolute",
+               axis=(0, 0, 1), coord_name="theta")
+    model = Model(b.finalize()).finalize()
+    t = np.linspace(0, 1, 12)
+    traj = Trajectory(time=t, state_names=model.state_names(),
+                      states=np.stack([0.5 * np.sin(2 * t),
+                                       np.cos(2 * t)], axis=1),
+                      control_names=[], controls=np.zeros((12, 0)))
+    png = visualize(model, traj, str(tmp_path / "strip.png"), max_frames=6)
+    assert open(png, "rb").read(8).startswith(b"\x89PNG")
+    gif = visualize(model, traj, str(tmp_path / "anim.gif"), max_frames=5)
+    assert open(gif, "rb").read(6) in (b"GIF87a", b"GIF89a")
