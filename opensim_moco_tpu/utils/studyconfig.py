@@ -116,8 +116,22 @@ def load_study(config_or_path):
     if kind == "MocoTrack":
         from ..tools.track import Track
 
-        ref = _load_table(cfg["states_reference"], base_dir)
+        ref = _load_table(cfg["states_reference"], base_dir) \
+            if "states_reference" in cfg else None
+        markers = None
+        if "markers_reference" in cfg:
+            from .tables import read_trc
+            mpath = cfg["markers_reference"]["file"]
+            if not os.path.isabs(mpath):
+                mpath = os.path.join(base_dir, mpath)
+            markers = read_trc(mpath)
         tool = Track(model=model, states_reference=ref,
+                     markers_reference=markers,
+                     markers_weights=cfg.get("markers_weights", {}),
+                     markers_global_weight=cfg.get("markers_global_weight",
+                                                   1.0),
+                     allow_unused_references=cfg.get(
+                         "allow_unused_references", False),
                      states_weights=cfg.get("states_weights", {}),
                      scale_state_weights_with_range=cfg.get(
                          "scale_state_weights_with_range", False),

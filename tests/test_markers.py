@@ -93,3 +93,23 @@ def test_track_unused_marker_errors():
     tool = Track(model=model, markers_reference=trc)
     with pytest.raises(ValueError, match="NOT_A_MARKER"):
         tool.build_study()
+
+
+def test_studyconfig_marker_tracking(tmp_path):
+    """A MocoTrack JSON study document with only a markers_reference loads
+    into a marker-tracking Track tool (the .omoco markers path,
+    MocoTrack.h:208)."""
+    from opensim_moco_tpu.utils.studyconfig import load_study
+
+    cfg = {
+        "type": "MocoTrack",
+        "model": {"osim": OSIM},
+        "markers_reference": {"file": TRC},
+        "markers_global_weight": 2.5,
+        "allow_unused_references": True,
+        "mesh_interval": 0.5,
+    }
+    tool, _ = load_study(cfg)
+    assert tool.markers_global_weight == 2.5
+    study = tool.build_study()
+    assert any(g.name == "marker_tracking" for g in study.problem.goals)
