@@ -164,31 +164,42 @@ class Study:
         return tr.guess_from_trajectory(sto_to_trajectory(path).unseal())
 
     def solve(self, guess=None, checkpoint_interval=None,
-              checkpoint_path=None, interrupt_file=None) -> Solution:
+              checkpoint_path=None, interrupt_file=None,
+              profile=False, profile_trace_dir=None) -> Solution:
         """Solve the study.
 
         ``checkpoint_interval``: dump the current iterate to
         ``checkpoint_path`` (.sto) every K interior-point iterations
         (reference output_interval, MocoCasADiSolver.h:138).
         ``interrupt_file``: abort cleanly as soon as this file disappears
-        (reference FileDeletionThrower, MocoUtilities.h:717-756)."""
+        (reference FileDeletionThrower, MocoUtilities.h:717-756).
+        ``profile``: time build/compile/solve stages, print the report,
+        and attach it as ``solution.profile``. ``profile_trace_dir``:
+        additionally capture a JAX device trace (TensorBoard/Perfetto)
+        of the solve (SURVEY §5 profiling hook)."""
+        import contextlib
         import os
 
         from ..solver.ipm import make_chunked_solver
+        from ..utils.profiling import StageTimer, trace as profiler_trace
 
-        tr = self.transcription()
-        rep = tr.rep
-        nlp = tr.make_nlp()
-        if guess is None:
-            z0 = tr.initial_guess()
-        elif hasattr(guess, "state_names"):
-            # a Trajectory/Solution: resample onto this grid (reference
-            # MocoCasADiSolver::setGuess accepts a MocoTrajectory and
-            # resamples, MocoCasADiSolver.h:105-128)
-            z0 = tr.guess_from_trajectory(guess)
-        else:
-            z0 = guess
+        timer = StageTimer()
+        with timer.stage("transcription_build"):
+            tr = self.transcription()
+            rep = tr.rep
+            nlp = tr.make_nlp()
+            if guess is None:
+                z0 = tr.initial_guess()
+            elif hasattr(guess, "state_names"):
+                # a Trajectory/Solution: resample onto this grid (reference
+                # MocoCasADiSolver::setGuess accepts a MocoTrajectory and
+                # resamples, MocoCasADiSolver.h:105-128)
+                z0 = tr.guess_from_trajectory(guess)
+            else:
+                z0 = guess
         start = _time.perf_counter()
+        device_trace = (profiler_trace(profile_trace_dir)
+                        if profile_trace_dir else contextlib.nullcontext())
         if checkpoint_interval or interrupt_file:
             init_fn, run_chunk, finalize_fn = make_chunked_solver(
                 nlp, self.ipm_options, scale_z0=z0)
@@ -210,10 +221,21 @@ class Study:
                     break
                 limit = int(it_h) + chunk
         else:
-            solve_fn = jax.jit(make_solver(nlp, self.ipm_options,
-                                           scale_z0=z0))
-            res = solve_fn(jnp.asarray(z0))
-        return self._expand(tr, rep, res, start)
+            with timer.stage("compile"):
+                solve_fn = jax.jit(make_solver(nlp, self.ipm_options,
+                                               scale_z0=z0))
+                compiled = solve_fn.lower(jnp.asarray(z0)).compile() \
+                    if profile else None
+            with timer.stage("solve"), device_trace:
+                res = (compiled if compiled is not None
+                       else solve_fn)(jnp.asarray(z0))
+                jax.block_until_ready(res.z)
+        with timer.stage("post"):
+            sol = self._expand(tr, rep, res, start)
+        if profile:
+            sol.profile = timer.as_dict()
+            print(timer.report())
+        return sol
 
     def _expand(self, tr, rep, res, start) -> Solution:
         # ONE device round-trip for everything (d2h is seconds-expensive on
