@@ -9,7 +9,10 @@ import os
 import sys
 import time
 
+import os as _os
 import jax
+if _os.environ.get("FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(

@@ -2,7 +2,10 @@
 import sys
 import time
 
+import os as _os
 import jax
+if _os.environ.get("FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
