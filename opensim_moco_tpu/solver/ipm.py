@@ -45,7 +45,15 @@ class IPMOptions:
     max_iter: int = 500
     mu_init: float = 1e-1
     mu_min_factor: float = 1.0 / 11.0  # mu_min = tol * factor
-    kappa_eps: float = 10.0
+    # barrier-subproblem exit: decrease mu when err(mu) <= kappa_eps * mu.
+    # IPOPT's default is 10; we run 100 — measured across the analytic +
+    # muscle batteries (r5): linear tangent steering goes from a permanent
+    # 1e-3 orbit (mu pinned because err(mu) ~ primal floor > 10*mu) to
+    # 6-iteration convergence, hanging-muscle f32 lanes 6/8 -> 7/8 at
+    # mean_it 51 -> 30, Kirk/double-pendulum unchanged-or-better. The
+    # looser gate lets mu race past shallow error floors whose cause IS
+    # the barrier pressure itself.
+    kappa_eps: float = 100.0
     kappa_mu: float = 0.2
     theta_mu: float = 1.5
     tau_min: float = 0.99
@@ -387,10 +395,15 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
                 sol0 = jnp.linalg.solve(K0, jnp.concatenate(
                     [r1, jnp.zeros((m,), dtype)]))
                 nu0 = sol0[n:]
-            # degenerate-Jacobian guard (IPOPT: discard a huge LS dual)
+            # degenerate-Jacobian guard: IPOPT discards a huge LS dual
+            # outright; we rescale into a trust region instead — at a
+            # primal-infeasible warm start (e.g. tracked-states gait
+            # guesses, theta ~ 50) the LS dual legitimately exceeds 1e3
+            # and a scaled version still beats nu = 0 by orders of
+            # magnitude in starting dual error
             nu0 = jnp.where(jnp.isfinite(nu0), nu0, 0.0)
-            nu0 = jnp.where(_inf_norm(nu0) <= 1e3, nu0,
-                            jnp.zeros_like(nu0))
+            nu0 = nu0 * jnp.minimum(1.0, 1e3 / jnp.maximum(_inf_norm(nu0),
+                                                           1e-30))
         return Carry(z=z, nu=nu0, wL=wL, wU=wU, mu=mu0,
                      it=jnp.zeros((), jnp.int32), converged=jnp.array(False),
                      kkt=jnp.asarray(jnp.inf, dtype),
