@@ -138,6 +138,25 @@ class Trajectory:
         return dataclasses.replace(self, derivative_names=names,
                                    derivatives=D)
 
+    def generate_accelerations_from_values(self):
+        """Append/overwrite '<coord>/accel' derivative columns with second
+        spline derivatives of the '<coord>/value' columns (reference
+        generateAccelerationsFromValues, MocoTrajectory.h:405)."""
+        from .splines import CubicSpline
+
+        names = []
+        cols = []
+        for i, n in enumerate(self.state_names):
+            if not n.endswith("/value"):
+                continue
+            sp = CubicSpline(self.time, self.states[:, i])
+            names.append(n[:-len("/value")] + "/accel")
+            cols.append(np.asarray(sp.second_derivative(self.time)))
+        D = (np.stack(cols, axis=1) if cols
+             else np.zeros((len(self.time), 0)))
+        return dataclasses.replace(self, derivative_names=names,
+                                   derivatives=D)
+
     def is_compatible(self, state_names, control_names,
                       require_all=False) -> bool:
         """Name-set compatibility with a problem (reference

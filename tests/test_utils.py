@@ -157,3 +157,19 @@ def test_visualize_filmstrip_and_gif(tmp_path):
     assert open(png, "rb").read(8).startswith(b"\x89PNG")
     gif = visualize(model, traj, str(tmp_path / "anim.gif"), max_frames=5)
     assert open(gif, "rb").read(6) in (b"GIF87a", b"GIF89a")
+
+
+def test_generate_accelerations_from_values():
+    """generateAccelerationsFromValues analogue (MocoTrajectory.h:405):
+    second spline derivative of the value columns."""
+    t = np.linspace(0, 1, 21)
+    tr = Trajectory(time=t,
+                    state_names=["/jointset/j/c/value", "/jointset/j/c/speed"],
+                    states=np.stack([np.sin(3 * t), 3 * np.cos(3 * t)],
+                                    axis=1),
+                    control_names=[], controls=np.zeros((21, 0)))
+    out = tr.generate_accelerations_from_values()
+    assert out.derivative_names == ["/jointset/j/c/accel"]
+    interior = slice(3, -3)
+    np.testing.assert_allclose(out.derivatives[interior, 0],
+                               -9 * np.sin(3 * t)[interior], atol=0.05)
