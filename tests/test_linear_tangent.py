@@ -77,7 +77,10 @@ def build_study(num_mesh_intervals=50):
     study = Study(prob)
     study.set_solver_options(transcription_scheme="hermite-simpson",
                              num_mesh_intervals=num_mesh_intervals)
-    study.set_ipm_options(tol=1e-6, max_iter=500)
+    # mu_init 1e-2 like the shipped tools: at mesh 50 the default 1e-1
+    # start orbits at kkt ~3e-3 (mu-phase pathology recorded in
+    # docs/PERF.md); from 1e-2 the solve takes 7 iterations
+    study.set_ipm_options(tol=1e-6, max_iter=500, mu_init=1e-2)
     return study
 
 
