@@ -43,8 +43,10 @@ PARTIAL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _timed_batch(batched, Z0, tol):
-    res = batched(Z0)
-    res.z.block_until_ready()
+    # warm up on a perturbed copy: the tunneled TPU runtime memoizes
+    # identical (executable, input) executions, so timing a repeat of the
+    # warm-up input can read ~0 s (observed r5)
+    batched(Z0 + jnp.asarray(1e-6, Z0.dtype)).z.block_until_ready()
     t0 = time.perf_counter()
     res = batched(Z0)
     res.z.block_until_ready()

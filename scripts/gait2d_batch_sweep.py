@@ -42,8 +42,11 @@ for B in Bs:
     Z0 = np.stack([z0] + [z0 + 0.005 * rng.standard_normal(
         z0.shape).astype(np.float32) for _ in range(B - 1)])
     Z0 = jnp.asarray(Z0)
-    res = batched(Z0)
-    res.z.block_until_ready()
+    # warm up on a DIFFERENT batch: the tunneled runtime memoizes
+    # identical (executable, input) pairs, so timing a repeat of the
+    # warm-up input reads ~0 s
+    Zw = Z0 + jnp.float32(1e-6)
+    batched(Zw).z.block_until_ready()
     t0 = time.perf_counter()
     res = batched(Z0)
     res.z.block_until_ready()
