@@ -6,7 +6,13 @@ accelerator:
 1. NORTH STAR (headline metric): batched 2D-walking MocoTrack solves
    (BASELINE.json's target config; reference example2DWalking.cpp:55-185
    gaitTracking — 10 DoF, 18 DGF muscles, contact spheres, half-cycle
-   symmetry, GRF tracking) at 15 mesh intervals, B=4.
+   symmetry, GRF tracking) at 15 mesh intervals, B=8 (r5 sweep: B=16
+   crashes the v5-lite runtime, B=8 is the throughput knee; solver r5:
+   LS multiplier init + kappa_eps=100 cut mean iterations 221 -> ~114,
+   acceptable_iter=5 + max_ls=6 trim the tail).
+   A final full-resolution lane solves ONE 50-mesh-interval tracking
+   problem (the reference's own config, example2DWalking.cpp:66) and
+   reports wall-clock + tracking RMS vs the reference kinematics.
 2. exampleHangingMuscle (BASELINE.json correctness config) with FULL
    muscle dynamics — activation + implicit tendon compliance, mirroring
    testMocoActuators.cpp:1088 — B=32 jittered guesses, plus the
@@ -98,10 +104,11 @@ def lane_gait2d():
     nlp = tr.make_nlp()
     z0 = np.asarray(guess, dtype=np.float32)
     opts = IPMOptions(tol=1e-4, max_iter=250, mu_init=1e-2, max_rescues=100,
-                      acceptable_tol_factor=30.0, acceptable_iter=10,
+                      acceptable_tol_factor=30.0, acceptable_iter=5,
+                      max_ls=6,
                       hessian_approximation="objective-only")
     solve = make_solver(nlp, opts, scale_z0=z0)
-    B = 4
+    B = 8
     rng = np.random.default_rng(0)
     Z0 = np.stack([z0] + [z0 + 0.005 * rng.standard_normal(
         z0.shape).astype(np.float32) for _ in range(B - 1)])
@@ -112,6 +119,49 @@ def lane_gait2d():
             "wall_s_per_batch": round(dt, 3),
             "solves_per_s": round(B / dt, 4),
             "converged_solves_per_s": round(conv / dt, 4)}
+
+
+def lane_gait2d_full50():
+    """ONE solve at the reference's own resolution (50 mesh intervals,
+    example2DWalking.cpp:66): wall-clock + states-tracking RMS vs the
+    reference kinematics (acceptance bar 1e-2, testMocoTrack.cpp:66)."""
+    from opensim_moco_tpu.examples import gait2d_tracking_study
+    from opensim_moco_tpu.solver.ipm import IPMOptions, make_solver
+    from opensim_moco_tpu.utils.tables import read_sto
+
+    study, guess = gait2d_tracking_study(num_mesh_intervals=50, tol=1e-3)
+    tr = study.transcription()
+    nlp = tr.make_nlp()
+    z0 = np.asarray(guess, dtype=np.float32)
+    opts = IPMOptions(tol=1e-4, max_iter=400, mu_init=1e-2, max_rescues=100,
+                      acceptable_tol_factor=30.0, acceptable_iter=5,
+                      max_ls=6,
+                      hessian_approximation="objective-only")
+    solve = jax.jit(make_solver(nlp, opts, scale_z0=z0))
+    zj = jnp.asarray(z0)
+    solve(zj + jnp.float32(1e-6)).z.block_until_ready()  # compile warm-up
+    t0 = time.perf_counter()
+    res = solve(zj)
+    res.z.block_until_ready()
+    dt = time.perf_counter() - t0
+    t0g, tfg, Y, X = jax.device_get(
+        (res.z[0], res.z[1],
+         res.z[tr.offsets["states"][0]:tr.offsets["states"][1]].reshape(
+             tr.G, tr.ny), res.converged))
+    ts = t0g + (tfg - t0g) * np.asarray(tr.taus)
+    ref = read_sto("/root/reference/Moco/Examples/C++/example2DWalking/"
+                   "referenceCoordinates.sto")
+    errs = []
+    for j, n in enumerate(tr.rep.state_names):
+        if n in ref.column_names:
+            r = np.interp(ts, ref.time, ref.column(n))
+            errs.append(np.sqrt(np.mean((np.asarray(Y)[:, j] - r) ** 2)))
+    rms = float(np.sqrt(np.mean(np.square(errs)))) if errs else float("nan")
+    return {"wall_s": round(dt, 2),
+            "converged": bool(jax.device_get(res.converged)),
+            "iterations": int(jax.device_get(res.iterations)),
+            "kkt": float(jax.device_get(res.kkt_error)),
+            "tracking_rms": round(rms, 5)}
 
 
 def _checkpoint(out):
@@ -135,6 +185,13 @@ def main():
     out["gait2d_track"] = g
     _checkpoint(out)
 
+    try:
+        f50 = lane_gait2d_full50()
+    except Exception as e:  # full-res lane must not sink the headline
+        f50 = {"error": str(e)[:200]}
+    out["gait2d_full50"] = f50
+    _checkpoint(out)
+
     baseline_gait = 1.0 / 300.0  # estimated reference solves/s (docstring)
     result = {
         "metric": "gait2d_track_hs15_batched_solves_per_s_per_chip",
@@ -152,6 +209,8 @@ def main():
         "hanging_full_strict": f"{hf['strict']}/{hf['batch']}",
         "hanging_simplified_solves_per_s": hs["solves_per_s"],
         "hanging_simplified_converged": f"{hs['converged']}/{hs['batch']}",
+        "gait2d_full50_wall_s": f50.get("wall_s"),
+        "gait2d_full50_rms": f50.get("tracking_rms"),
         "device": dev,
     }
     print(json.dumps(result))
