@@ -45,15 +45,20 @@ class IPMOptions:
     max_iter: int = 500
     mu_init: float = 1e-1
     mu_min_factor: float = 1.0 / 11.0  # mu_min = tol * factor
-    # barrier-subproblem exit: decrease mu when err(mu) <= kappa_eps * mu.
-    # IPOPT's default is 10; we run 100 — measured across the analytic +
-    # muscle batteries (r5): linear tangent steering goes from a permanent
-    # 1e-3 orbit (mu pinned because err(mu) ~ primal floor > 10*mu) to
-    # 6-iteration convergence, hanging-muscle f32 lanes 6/8 -> 7/8 at
-    # mean_it 51 -> 30, Kirk/double-pendulum unchanged-or-better. The
-    # looser gate lets mu race past shallow error floors whose cause IS
-    # the barrier pressure itself.
-    kappa_eps: float = 100.0
+    # barrier-subproblem exit: decrease mu when err(mu) <= kappa_eps * mu
+    # (IPOPT default 10). A static looser gate is NOT safe: 100 fixes the
+    # barrier-pressure orbits (linear tangent) but strands free-final-time
+    # bang-bang solves whose mu must not outrun the switching structure
+    # (minT mesh-50, sliding-mass tol-1e-8, r5 measurements). The
+    # mu_force_iter watchdog below supplies the loosening adaptively.
+    kappa_eps: float = 10.0
+    # barrier watchdog: after this many consecutive ACCEPTED steps without
+    # a mu decrease, force one. Error floors caused by barrier pressure
+    # itself (full steps accepted forever while err(mu) > kappa_eps*mu —
+    # the linear-tangent orbit) break within one window; rejection storms
+    # never force (rejected steps don't count), which is what protects the
+    # bang-bang family from a runaway schedule.
+    mu_force_iter: int = 10
     kappa_mu: float = 0.2
     theta_mu: float = 1.5
     tau_min: float = 0.99
@@ -156,6 +161,7 @@ class Carry(NamedTuple):
     acceptable_count: jnp.ndarray
     rescue_count: jnp.ndarray
     stall_count: jnp.ndarray  # consecutive fully-rejected iterations
+    mu_wait: jnp.ndarray  # accepted steps since the last mu decrease
 
 
 def _inf_norm(x):
@@ -395,15 +401,16 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
                 sol0 = jnp.linalg.solve(K0, jnp.concatenate(
                     [r1, jnp.zeros((m,), dtype)]))
                 nu0 = sol0[n:]
-            # degenerate-Jacobian guard: IPOPT discards a huge LS dual
-            # outright; we rescale into a trust region instead — at a
-            # primal-infeasible warm start (e.g. tracked-states gait
-            # guesses, theta ~ 50) the LS dual legitimately exceeds 1e3
-            # and a scaled version still beats nu = 0 by orders of
-            # magnitude in starting dual error
+            # degenerate-Jacobian guard (IPOPT least_square_init_
+            # multipliers): discard a huge LS dual outright. Measured r5:
+            # rescaling it into a 1e3 trust region instead stalls the
+            # free-final-time sliding-mass family at kkt ~0.9 (the
+            # clipped direction is garbage when the LS system is
+            # degenerate at a bounds-midpoint cold start); zero is the
+            # safe fallback.
             nu0 = jnp.where(jnp.isfinite(nu0), nu0, 0.0)
-            nu0 = nu0 * jnp.minimum(1.0, 1e3 / jnp.maximum(_inf_norm(nu0),
-                                                           1e-30))
+            nu0 = jnp.where(_inf_norm(nu0) <= 1e3, nu0,
+                            jnp.zeros_like(nu0))
         return Carry(z=z, nu=nu0, wL=wL, wU=wU, mu=mu0,
                      it=jnp.zeros((), jnp.int32), converged=jnp.array(False),
                      kkt=jnp.asarray(jnp.inf, dtype),
@@ -415,7 +422,8 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
                      best_kkt=jnp.asarray(jnp.inf, dtype),
                      acceptable_count=jnp.zeros((), jnp.int32),
                      rescue_count=jnp.zeros((), jnp.int32),
-                     stall_count=jnp.zeros((), jnp.int32))
+                     stall_count=jnp.zeros((), jnp.int32),
+                     mu_wait=jnp.zeros((), jnp.int32))
 
     def body_fn(carry: Carry) -> Carry:
         z, nu, wL, wU, mu = carry.z, carry.nu, carry.wL, carry.wU, carry.mu
@@ -487,8 +495,17 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
             ((acceptable_count >= opt.acceptable_iter) &
              (best_kkt <= acc_tol))
         e_mu = err(mu)
+        # Fiacco-McCormick decrease, gated on the last step having been
+        # accepted (racing mu down through a rejection storm strands
+        # free-final-time bang-bang solves), plus the mu_force_iter
+        # watchdog: many consecutive accepted steps without mu progress
+        # means the error floor IS the barrier pressure — force the
+        # decrease (breaks the linear-tangent orbit that a kappa_eps=10
+        # gate never clears).
+        force_mu = carry.mu_wait >= opt.mu_force_iter
         mu_new = jnp.where(
-            e_mu <= opt.kappa_eps * mu,
+            ((e_mu <= opt.kappa_eps * mu) & (carry.alpha_last > 0)) |
+            force_mu,
             jnp.maximum(mu_min, jnp.minimum(opt.kappa_mu * mu,
                                             mu ** opt.theta_mu)),
             mu)
@@ -945,7 +962,12 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
             best_z=best_z, best_nu=best_nu, best_kkt=best_kkt,
             acceptable_count=acceptable_count,
             rescue_count=jnp.where(keep, carry.rescue_count, rescue_count),
-            stall_count=jnp.where(keep, carry.stall_count, stall_count))
+            stall_count=jnp.where(keep, carry.stall_count, stall_count),
+            mu_wait=jnp.where(
+                keep, carry.mu_wait,
+                jnp.where(mu_rescued != mu,
+                          jnp.zeros((), jnp.int32),
+                          carry.mu_wait + jnp.where(any_acc, 1, 0))))
 
     def cond_fn(carry: Carry):
         return (~carry.converged) & (carry.it < opt.max_iter)

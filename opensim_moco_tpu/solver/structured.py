@@ -49,6 +49,21 @@ from jax.scipy.linalg import lu_factor, lu_solve
 from .kkt import CompiledStructure
 
 
+def _seeded_jvp(fn, z, seeds, n_blocks):
+    """vmap of jvp over coloring seeds, chunked for large grids.
+
+    On big transcriptions (N >= 32 blocks, e.g. the 50-mesh-interval gait
+    problems) a plain vmap over ~2nv+kv tangents batches the whole
+    evaluation tape by the seed count and blows HBM on a single chip
+    (observed: v5-lite 'TPU device error' on the full-resolution bench
+    lane). lax.map with a batch size trades that peak for a short scan.
+    """
+    if n_blocks < 32:
+        return jax.vmap(lambda s: jax.jvp(fn, (z,), (s,))[1])(seeds)
+    return jax.lax.map(lambda s: jax.jvp(fn, (z,), (s,))[1], seeds,
+                       batch_size=16)
+
+
 class BlockDerivatives:
     """Compressed-seed derivative extraction for a CompiledStructure.
 
@@ -115,7 +130,7 @@ class BlockDerivatives:
         cs = self.cs
         dtype = z.dtype
         SJ, _ = self._seeds(dtype)
-        Jc = jax.vmap(lambda s: jax.jvp(self.c_fn, (z,), (s,))[1])(SJ).T
+        Jc = _seeded_jvp(self.c_fn, z, SJ, cs.N).T
         # exact border rows via reverse mode
         if self.kc:
             _, vjp = jax.vjp(self.c_fn, z)
@@ -164,7 +179,7 @@ class BlockDerivatives:
         dtype = z.dtype
         _, SH = self._seeds(dtype)
         g_of = lambda zz: lag_grad_fn(zz, nu)
-        Hc = jax.vmap(lambda s: jax.jvp(g_of, (z,), (s,))[1])(SH).T  # (n, ncols)
+        Hc = _seeded_jvp(g_of, z, SH, cs.N).T  # (n, ncols)
         V = jnp.asarray(cs.V)
         mv = jnp.asarray(cs.Vm).astype(dtype)
         HV = Hc[V]  # (N, nv, ncols)

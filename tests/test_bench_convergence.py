@@ -24,7 +24,8 @@ def test_bench_batch_convergence_rate():
     z0 = tr.initial_guess(dtype=jnp.float32)
     # bench.py lane settings (keep in sync)
     opts = IPMOptions(tol=3e-3, max_iter=150, bound_relax=1e-6,
-                      mu_init=1e-2, acceptable_tol_factor=30.0,
+                      mu_init=1e-2, kappa_eps=100.0,
+                      acceptable_tol_factor=30.0,
                       acceptable_iter=10, max_rescues=100)
     solve = make_solver(nlp, opts, scale_z0=z0)
     B = 8

@@ -77,10 +77,13 @@ def build_study(num_mesh_intervals=50):
     study = Study(prob)
     study.set_solver_options(transcription_scheme="hermite-simpson",
                              num_mesh_intervals=num_mesh_intervals)
-    # mu_init 1e-2 like the shipped tools: at mesh 50 the default 1e-1
-    # start orbits at kkt ~3e-3 (mu-phase pathology recorded in
-    # docs/PERF.md); from 1e-2 the solve takes 7 iterations
-    study.set_ipm_options(tol=1e-6, max_iter=500, mu_init=1e-2)
+    # this problem family needs the aggressive barrier schedule: with the
+    # conservative default gate (kappa_eps=10) the iterate orbits at a
+    # barrier-pressure error floor ~1e-3 that only clears once mu races
+    # down (docs/PERF.md r5); kappa_eps=100 + mu_init 1e-2 converges in
+    # ~7 iterations at mesh 50
+    study.set_ipm_options(tol=1e-6, max_iter=500, mu_init=1e-2,
+                          kappa_eps=100.0)
     return study
 
 
