@@ -52,12 +52,14 @@ class IPMOptions:
     # (minT mesh-50, sliding-mass tol-1e-8, r5 measurements). The
     # mu_force_iter watchdog below supplies the loosening adaptively.
     kappa_eps: float = 10.0
-    # barrier watchdog: after this many consecutive ACCEPTED steps without
+    # barrier watchdog: after this many consecutive STAGNANT accepted
+    # steps (step accepted but the KKT error did not drop by >10%) without
     # a mu decrease, force one. Error floors caused by barrier pressure
     # itself (full steps accepted forever while err(mu) > kappa_eps*mu —
     # the linear-tangent orbit) break within one window; rejection storms
-    # never force (rejected steps don't count), which is what protects the
-    # bang-bang family from a runaway schedule.
+    # never force (rejected steps don't count) and healthy slow phases
+    # never force (improving error resets the counter), which protects
+    # the bang-bang and muscle families from a runaway schedule.
     mu_force_iter: int = 10
     kappa_mu: float = 0.2
     theta_mu: float = 1.5
@@ -502,6 +504,9 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
         # means the error floor IS the barrier pressure — force the
         # decrease (breaks the linear-tangent orbit that a kappa_eps=10
         # gate never clears).
+        # stagnation: step accepted yet the error did not meaningfully
+        # improve vs the previous iteration (carry.kkt) — the orbit
+        # signature; computed here, consumed by the mu_wait update below
         force_mu = carry.mu_wait >= opt.mu_force_iter
         mu_new = jnp.where(
             ((e_mu <= opt.kappa_eps * mu) & (carry.alpha_last > 0)) |
@@ -878,6 +883,7 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
                      jnp.all(jnp.isfinite(nu_new)) &
                      jnp.all(jnp.isfinite(wL_new)) &
                      jnp.all(jnp.isfinite(wU_new)))
+        stagnant = any_acc & (e0 > 0.9 * carry.kkt)
         # stall escape: K consecutive iterations where the filter rejected
         # every trial AND the feasibility fallback failed means the solver
         # is wedged (typically after regularization ran away); restart from
@@ -965,9 +971,10 @@ def make_kernel(nlp: NLP, options: IPMOptions = IPMOptions(),
             stall_count=jnp.where(keep, carry.stall_count, stall_count),
             mu_wait=jnp.where(
                 keep, carry.mu_wait,
-                jnp.where(mu_rescued != mu,
-                          jnp.zeros((), jnp.int32),
-                          carry.mu_wait + jnp.where(any_acc, 1, 0))))
+                jnp.where(
+                    (mu_rescued != mu) | ~stagnant,
+                    jnp.zeros((), jnp.int32),
+                    carry.mu_wait + 1)))
 
     def cond_fn(carry: Carry):
         return (~carry.converged) & (carry.it < opt.max_iter)
