@@ -6,6 +6,9 @@ import os as _os
 import jax
 if _os.environ.get("FORCE_CPU"):
     jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  _os.path.join(_os.path.dirname(_os.path.dirname(
+                      _os.path.abspath(__file__))), ".jax_cache"))
 import jax.numpy as jnp
 import numpy as np
 

@@ -24,6 +24,9 @@ VARIANTS = {
     "acc5": dict(acceptable_iter=5),
     "refine1acc5": dict(kkt_refine_iters=1, acceptable_iter=5),
     "acc60": dict(acceptable_tol_factor=60.0),
+    "ls6": dict(max_ls=6, acceptable_iter=5),
+    "mu1e-3": dict(mu_init=1e-3, acceptable_iter=5),
+    "ls6mu1e-3": dict(max_ls=6, mu_init=1e-3, acceptable_iter=5),
 }
 which = sys.argv[1].split(",") if len(sys.argv) > 1 else ["refine1", "acc5"]
 
