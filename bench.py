@@ -175,23 +175,42 @@ def _checkpoint(out):
 
 
 def main():
+    t_start = time.perf_counter()
     dev = str(jax.devices()[0])
     out = {"device": dev}
 
-    hs = lane_hanging(full_dynamics=False)
-    out["hanging_muscle_simplified"] = hs
-    _checkpoint(out)
-
-    hf = lane_hanging(full_dynamics=True)
-    out["hanging_muscle_full_dynamics"] = hf
-    _checkpoint(out)
-
-    g = lane_gait2d()
+    # headline lane FIRST so an external timeout can't lose it (the r5
+    # driver run died mid-compile with only the hanging lanes recorded)
+    try:
+        g = lane_gait2d()
+    except Exception as e:
+        g = {"error": str(e)[:160], "batch": 8, "converged": 0, "strict": 0,
+             "solves_per_s": 0.0}
     out["gait2d_track"] = g
     _checkpoint(out)
 
-    f50 = None
+    try:
+        hs = lane_hanging(full_dynamics=False)
+    except Exception as e:
+        hs = {"error": str(e)[:160], "batch": 32, "converged": 0,
+              "solves_per_s": 0.0}
+    out["hanging_muscle_simplified"] = hs
+    _checkpoint(out)
+
+    try:
+        hf = lane_hanging(full_dynamics=True)
+    except Exception as e:
+        hf = {"error": str(e)[:160], "batch": 32, "converged": 0,
+              "solves_per_s": 0.0}
+    out["hanging_muscle_full_dynamics"] = hf
+    _checkpoint(out)
+
+    # full-resolution lane LAST with a wall budget: mesh-50/40 programs can
+    # each burn minutes of compile before the known v5-lite runtime fault
+    f50 = {"skipped": "time budget"}
     for mesh in (50, 40, 30):
+        if time.perf_counter() - t_start > 2400:
+            break
         try:
             f50 = lane_gait2d_full50(mesh)
             break
@@ -203,18 +222,18 @@ def main():
     baseline_gait = 1.0 / 300.0  # estimated reference solves/s (docstring)
     result = {
         "metric": "gait2d_track_hs15_batched_solves_per_s_per_chip",
-        "value": g["solves_per_s"],
+        "value": g.get("solves_per_s", 0.0),
         "unit": "solves/s/chip",
-        "vs_baseline": round(g["solves_per_s"] / baseline_gait, 1),
+        "vs_baseline": round(g.get("solves_per_s", 0.0) / baseline_gait, 1),
         # the reference could not be built in this image (empty
         # opensim-core submodule, no network); 300 s/solve is an estimate,
         # NOT a measurement — see module docstring
         "baseline": "estimated (300 s/solve reference, not measured)",
         "gait2d_converged": f"{g['converged']}/{g['batch']}",
-        "gait2d_strict": f"{g['strict']}/{g['batch']}",
+        "gait2d_strict": f"{g.get('strict', 0)}/{g['batch']}",
         "hanging_full_solves_per_s": hf["solves_per_s"],
         "hanging_full_converged": f"{hf['converged']}/{hf['batch']}",
-        "hanging_full_strict": f"{hf['strict']}/{hf['batch']}",
+        "hanging_full_strict": f"{hf.get('strict', 0)}/{hf['batch']}",
         "hanging_simplified_solves_per_s": hs["solves_per_s"],
         "hanging_simplified_converged": f"{hs['converged']}/{hs['batch']}",
         "gait2d_full50_wall_s": f50.get("wall_s"),
